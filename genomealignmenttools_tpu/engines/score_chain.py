@@ -1,0 +1,67 @@
+"""scoreChain engine: exact (re)scoring of every chain in a file.
+
+Behavioral reference: src/scoreChain/scoreChain.c (main:231-345, output
+modes at flags 42-50).  Output is byte-identical to the C tool.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..device.genome import Genome
+from ..formats.chain import format_score, iter_chains
+from ..formats.gapcalc import gap_calc_from_file
+from ..formats.scorematrix import read_score_scheme, score_scheme_default
+from .scoring import ChainScorer
+
+
+def score_chain_file(
+    in_chain: str,
+    t_2bit: str,
+    q_2bit: str,
+    out_path: str,
+    linear_gap: str,
+    score_scheme: str | None = None,
+    do_local_score: bool = False,
+    force_local_score: bool = False,
+    return_only_score: bool = False,
+    return_only_score_and_coords: bool = False,
+    scorer_factory=None,
+) -> None:
+    """Score every chain in in_chain and write out_path.
+
+    scorer_factory optionally overrides ChainScorer construction (used to
+    swap in the device-batched scorer)."""
+    if return_only_score and return_only_score_and_coords:
+        raise ValueError("cannot set both returnOnlyScore and returnOnlyScoreAndCoords")
+
+    scheme = read_score_scheme(score_scheme) if score_scheme else score_scheme_default()
+    gap_calc = gap_calc_from_file(linear_gap)
+    t_genome = Genome(t_2bit)
+    q_genome = Genome(q_2bit)
+    factory = scorer_factory or ChainScorer
+    scorer = factory(scheme, gap_calc, t_genome, q_genome)
+
+    out = sys.stdout if out_path == "stdout" else open(out_path, "w")
+    try:
+        for chain in iter_chains(in_chain):
+            global_score, local_score, ali_bases = scorer.global_and_local(chain)
+            if force_local_score:
+                chain.score = local_score
+            else:
+                chain.score = global_score
+                if chain.score <= 0 and do_local_score:
+                    chain.score = local_score
+
+            if return_only_score:
+                out.write(f"{chain.id}\t{format_score(global_score)}\t"
+                          f"{format_score(local_score)}\t{ali_bases}\n")
+            elif return_only_score_and_coords:
+                out.write(f"{chain.id}\t{chain.t_start}\t{chain.t_end}\t"
+                          f"{format_score(global_score)}\t"
+                          f"{format_score(local_score)}\t{ali_bases}\n")
+            else:
+                out.write(chain.to_text())
+    finally:
+        if out is not sys.stdout:
+            out.close()

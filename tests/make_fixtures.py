@@ -1,0 +1,349 @@
+"""Generate hermetic test fixtures + golden outputs from the reference C tools.
+
+Run manually (requires the locally-built reference binaries in
+/root/repo/.ref_build - compiled from /root/reference with stubbed openssl):
+
+    python tests/make_fixtures.py
+
+Strategy: build a synthetic target genome, then *plant* homologous copies of
+target blocks into a synthetic query genome (with controlled mutation rates)
+so that chains score realistically positive.  Includes deliberate
+breaking/broken chain scenarios (a high-scoring chain whose small middle
+block splits a nested chain) so chainCleaner has real suspects to remove.
+
+Outputs are committed to tests/fixtures/ (inputs) and tests/golden/
+(expected outputs); tests compare our engines byte-for-byte against the
+goldens without needing the reference binaries.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from genomealignmenttools_tpu.formats.twobit import write_twobit  # noqa: E402
+from genomealignmenttools_tpu.formats.chain import Chain, write_chains  # noqa: E402
+from genomealignmenttools_tpu.formats.chromsizes import write_chrom_sizes  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIX = os.path.join(HERE, "fixtures")
+GOLD = os.path.join(HERE, "golden")
+REF_BIN = "/root/repo/.ref_build/bin"
+KENT_BIN = "/root/repo/.ref_build/kent/bin"
+
+T_CHROMS = {"chrA": 1_000_000, "chrB": 200_000}
+Q_CHROMS = {"chrQ1": 2_000_000, "chrQ2": 150_000}
+
+HOXD55 = """\
+     A    C    G    T
+    91  -90  -25 -100
+   -90  100 -100  -25
+   -25 -100  100  -90
+  -100  -25  -90   91
+"""
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+COMP = {65: 84, 67: 71, 71: 67, 84: 65}
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for k, v in COMP.items():
+    _COMP_LUT[k] = v
+    _COMP_LUT[k + 32] = v + 32
+
+
+def revcomp(seq: np.ndarray) -> np.ndarray:
+    return _COMP_LUT[seq[::-1]]
+
+
+def rand_seq(rng, size):
+    return BASES[rng.integers(0, 4, size)].copy()
+
+
+def mutate(rng, seq: np.ndarray, identity: float) -> np.ndarray:
+    out = seq.copy()
+    mut = rng.random(seq.size) > identity
+    out[mut] = BASES[rng.integers(0, 4, int(mut.sum()))]
+    return out
+
+
+class QueryPainter:
+    """Tracks query chrom arrays + used intervals; plants homology."""
+
+    def __init__(self, rng, chroms):
+        self.rng = rng
+        self.seq = {n: rand_seq(rng, s) for n, s in chroms.items()}
+        self.used = {n: [] for n in chroms}
+
+    def reserve(self, qname, start, end) -> bool:
+        for s, e in self.used[qname]:
+            if start < e and s < end:
+                return False
+        self.used[qname].append((start, end))
+        return True
+
+    def plant(self, tseq, chain: Chain, identities):
+        """Copy (mutated) target block sequence into query plus-strand."""
+        q = self.seq[chain.q_name]
+        qsize = chain.q_size
+        for (ts, te, qs, qe), ident in zip(chain.blocks, identities):
+            frag = mutate(self.rng, tseq[ts:te], ident)
+            if chain.q_strand == "+":
+                q[qs:qe] = frag
+            else:
+                # chain q coords are on revcomp(q): plus-strand interval is
+                # [qsize-qe, qsize-qs) and holds revcomp of the fragment
+                q[qsize - qe:qsize - qs] = revcomp(frag)
+
+
+def chain_from_blocks(blocks, cid, t_name, t_size, q_name, q_size, strand,
+                      score=1.0) -> Chain:
+    b = np.array(blocks, dtype=np.int64)
+    return Chain(
+        score=float(score), t_name=t_name, t_size=t_size,
+        t_start=int(b[0, 0]), t_end=int(b[-1, 1]),
+        q_name=q_name, q_size=q_size, q_strand=strand,
+        q_start=int(b[0, 2]), q_end=int(b[-1, 3]), id=cid, blocks=b,
+    )
+
+
+def gen_colinear_blocks(rng, t_pos, q_pos, n_blocks, t_size, q_size,
+                        block_lo=30, block_hi=600, gap_cap=4000):
+    blocks = []
+    for _ in range(n_blocks):
+        bs = int(rng.integers(block_lo, block_hi))
+        if t_pos + bs > t_size or q_pos + bs > q_size:
+            break
+        blocks.append((t_pos, t_pos + bs, q_pos, q_pos + bs))
+        t_pos += bs
+        q_pos += bs
+        g = rng.integers(0, 3)
+        dt = int(rng.integers(0, gap_cap)) if g != 1 else 0
+        dq = int(rng.integers(0, gap_cap)) if g != 0 else 0
+        t_pos += dt
+        q_pos += dq
+    return blocks
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd))
+    env = dict(os.environ)
+    env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
+    subprocess.run(cmd, check=True, env=env, **kw)
+
+
+def main():
+    os.makedirs(FIX, exist_ok=True)
+    os.makedirs(GOLD, exist_ok=True)
+    rng = np.random.default_rng(20260817)
+
+    # target genome with soft-mask + N features
+    t_seq = {}
+    for name, size in T_CHROMS.items():
+        s = rand_seq(rng, size)
+        for _ in range(size // 8000 + 2):  # soft-mask runs
+            st = int(rng.integers(0, size - 1))
+            e = min(size, st + int(rng.integers(50, 4000)))
+            s[st:e] += 32
+        for _ in range(size // 120000 + 1):  # N runs
+            st = int(rng.integers(0, size - 1))
+            e = min(size, st + int(rng.integers(20, 300)))
+            s[st:e] = ord("N")
+        t_seq[name] = s
+
+    painter = QueryPainter(rng, Q_CHROMS)
+    chains: list[Chain] = []
+    cid = 1
+
+    # --- planted suspect scenarios on chrA ---------------------------------
+    # Breaking chain P: [bigA]...gap...[suspect]...gap...[bigB]; broken chain
+    # C fills both gaps (same chain, two net fills) -> valid break.
+    t_size = T_CHROMS["chrA"]
+    q_size = Q_CHROMS["chrQ1"]
+    t_cursor = 10_000
+    for scenario in range(6):
+        qp = 10_000 + scenario * 320_000
+        if not painter.reserve("chrQ1", qp, qp + 150_000):
+            continue
+        strand = "+" if scenario % 2 == 0 else "-"
+        # P: left anchor blocks
+        p_blocks = []
+        idents = []
+        tp, qq = t_cursor, qp
+        for _ in range(10):  # bigA ~ 10 x 1.5kb strong blocks
+            bs = 1500
+            p_blocks.append((tp, tp + bs, qq, qq + bs))
+            idents.append(0.93)
+            tp += bs + int(rng.integers(10, 200))
+            qq += bs + int(rng.integers(10, 200))
+        gap1_start = tp
+        tp += 20_000  # big t-gap where broken chain lives
+        sus_start = tp
+        sus_len = 250
+        p_blocks.append((tp, tp + sus_len, qq, qq + sus_len))  # weak suspect
+        idents.append(0.78)
+        tp += sus_len
+        qq += sus_len
+        sus_end = tp
+        tp += 22_000  # second big t-gap
+        for _ in range(10):  # bigB
+            bs = 1500
+            p_blocks.append((tp, tp + bs, qq, qq + bs))
+            idents.append(0.93)
+            tp += bs + int(rng.integers(10, 200))
+            qq += bs + int(rng.integers(10, 200))
+        pchain = chain_from_blocks(p_blocks, cid, "chrA", t_size, "chrQ1",
+                                   q_size, strand)
+        cid += 1
+        painter.plant(t_seq["chrA"], pchain, idents)
+        chains.append(pchain)
+
+        # C: broken chain filling both gaps of P, query elsewhere
+        qp2 = qp + 160_000
+        if painter.reserve("chrQ1", qp2, qp2 + 100_000):
+            c_blocks = []
+            c_idents = []
+            cqq = qp2
+            # left part: inside gap1 (between gap1_start and sus_start)
+            ctp = gap1_start + 500
+            for _ in range(8):
+                bs = 900
+                if ctp + bs > sus_start - 500:
+                    break
+                c_blocks.append((ctp, ctp + bs, cqq, cqq + bs))
+                c_idents.append(0.94)
+                ctp += bs + int(rng.integers(5, 120))
+                cqq += bs + int(rng.integers(5, 120))
+            # right part: inside gap2 (between sus_end and B)
+            ctp = sus_end + 500
+            cqq += 400
+            for _ in range(8):
+                bs = 900
+                if ctp + bs > sus_end + 21_000:
+                    break
+                c_blocks.append((ctp, ctp + bs, cqq, cqq + bs))
+                c_idents.append(0.94)
+                ctp += bs + int(rng.integers(5, 120))
+                cqq += bs + int(rng.integers(5, 120))
+            cchain = chain_from_blocks(c_blocks, cid, "chrA", t_size, "chrQ1",
+                                       q_size, "+")
+            cid += 1
+            painter.plant(t_seq["chrA"], cchain, c_idents)
+            chains.append(cchain)
+        t_cursor = tp + int(rng.integers(5_000, 20_000))
+
+    # --- generic random homologous chains ----------------------------------
+    t_items = list(T_CHROMS.items())
+    q_items = list(Q_CHROMS.items())
+    for _ in range(150):
+        tn, ts_ = t_items[int(rng.integers(0, len(t_items)))]
+        qn, qs_ = q_items[int(rng.integers(0, len(q_items)))]
+        t_pos = int(rng.integers(0, ts_ * 3 // 4))
+        q_pos = int(rng.integers(0, qs_ * 3 // 4))
+        n_blocks = int(rng.integers(1, 40))
+        blocks = gen_colinear_blocks(rng, t_pos, q_pos, n_blocks, ts_, qs_)
+        if not blocks:
+            continue
+        qlo, qhi = blocks[0][2], blocks[-1][3]
+        if not painter.reserve(qn, qlo, qhi):
+            continue
+        strand = "+" if rng.random() < 0.6 else "-"
+        ident = float(rng.uniform(0.70, 0.97))
+        c = chain_from_blocks(blocks, cid, tn, ts_, qn, qs_, strand)
+        cid += 1
+        painter.plant(t_seq[tn], c, [ident] * len(blocks))
+        chains.append(c)
+
+    # query soft-mask + N features (after planting; changes case / adds Ns)
+    for name, size in Q_CHROMS.items():
+        s = painter.seq[name]
+        for _ in range(size // 10000 + 2):
+            st = int(rng.integers(0, size - 1))
+            e = min(size, st + int(rng.integers(50, 2500)))
+            lo = (s[st:e] >= ord("a"))
+            s[st:e][~lo] += 32
+        for _ in range(size // 150000 + 1):
+            st = int(rng.integers(0, size - 1))
+            e = min(size, st + int(rng.integers(20, 200)))
+            s[st:e] = ord("N")
+
+    # write inputs
+    t2bit = os.path.join(FIX, "target.2bit")
+    q2bit = os.path.join(FIX, "query.2bit")
+    write_twobit(t2bit, [(n, t_seq[n].tobytes()) for n in T_CHROMS])
+    write_twobit(q2bit, [(n, painter.seq[n].tobytes()) for n in Q_CHROMS])
+    write_chrom_sizes(T_CHROMS, os.path.join(FIX, "target.chrom.sizes"))
+    write_chrom_sizes(Q_CHROMS, os.path.join(FIX, "query.chrom.sizes"))
+    with open(os.path.join(FIX, "HoxD55.q"), "w") as f:
+        f.write(HOXD55)
+
+    in_chain = os.path.join(FIX, "synthetic.chain")
+    write_chains(chains, in_chain)
+    print(f"wrote {len(chains)} chains")
+
+    # golden: scoreChain variants
+    sc = os.path.join(REF_BIN, "scoreChain")
+    run([sc, in_chain, t2bit, q2bit, os.path.join(GOLD, "scoreChain.loose.chain"),
+         "-linearGap=loose"])
+    run([sc, in_chain, t2bit, q2bit, os.path.join(GOLD, "scoreChain.medium.chain"),
+         "-linearGap=medium"])
+    run([sc, in_chain, t2bit, q2bit, os.path.join(GOLD, "scoreChain.hoxd55.chain"),
+         "-linearGap=loose", f"-scoreScheme={os.path.join(FIX, 'HoxD55.q')}"])
+    run([sc, in_chain, t2bit, q2bit, os.path.join(GOLD, "scoreChain.scores.tsv"),
+         "-linearGap=loose", "-returnOnlyScore"])
+    run([sc, in_chain, t2bit, q2bit, os.path.join(GOLD, "scoreChain.coords.tsv"),
+         "-linearGap=loose", "-returnOnlyScoreAndCoords"])
+    run([sc, in_chain, t2bit, q2bit, os.path.join(GOLD, "scoreChain.local.chain"),
+         "-linearGap=loose", "-forceLocalScore"])
+
+    # score-sorted rescored chains (input to netting etc.)
+    sorted_chain = os.path.join(FIX, "synthetic.scored.sorted.chain")
+    run([os.path.join(KENT_BIN, "chainSort"),
+         os.path.join(GOLD, "scoreChain.loose.chain"), sorted_chain])
+
+    # golden: chainNet without and with rescore
+    cn = os.path.join(REF_BIN, "chainNet")
+    run([cn, sorted_chain, os.path.join(FIX, "target.chrom.sizes"),
+         os.path.join(FIX, "query.chrom.sizes"),
+         os.path.join(GOLD, "chainNet.target.net"),
+         os.path.join(GOLD, "chainNet.query.net")])
+    run([cn, sorted_chain, os.path.join(FIX, "target.chrom.sizes"),
+         os.path.join(FIX, "query.chrom.sizes"),
+         os.path.join(GOLD, "chainNetRescore.target.net"),
+         os.path.join(GOLD, "chainNetRescore.query.net"),
+         "-rescore", f"-tNibDir={t2bit}", f"-qNibDir={q2bit}",
+         "-linearGap=loose"])
+
+    # the same netting pipeline chainCleaner runs internally
+    # (chainCleaner.c:1660: chainNet -minScore=0 | NetFilterNonNested
+    # -minScore1 3000); run it explicitly since system() needs bash.
+    prenet = os.path.join(FIX, "cleaner_input.net")
+    env = dict(os.environ)
+    env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
+    subprocess.run(
+        ["bash", "-c",
+         f"set -o pipefail; chainNet -minScore=0 {sorted_chain} "
+         f"{os.path.join(FIX, 'target.chrom.sizes')} "
+         f"{os.path.join(FIX, 'query.chrom.sizes')} stdout /dev/null | "
+         f"NetFilterNonNested.perl /dev/stdin -minScore1 3000 > {prenet}"],
+        check=True, env=env)
+
+    # golden: chainCleaner with the pre-made net
+    cc = os.path.join(REF_BIN, "chainCleaner")
+    run([cc, sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "chainCleaner.out.chain"),
+         os.path.join(GOLD, "chainCleaner.removedSuspects.bed"),
+         f"-net={prenet}",
+         "-linearGap=loose"])
+    nbed = sum(1 for _ in open(os.path.join(GOLD, "chainCleaner.removedSuspects.bed")))
+    print(f"chainCleaner removed {nbed} suspects")
+    if nbed == 0:
+        print("WARNING: no suspects removed - fixture lacks breaking scenarios")
+    print("fixtures + goldens written")
+
+
+if __name__ == "__main__":
+    main()
