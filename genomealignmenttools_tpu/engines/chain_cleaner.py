@@ -1,0 +1,551 @@
+"""chainCleaner engine: remove chain-breaking alignments ("suspects").
+
+Behavioral reference: src/chainCleaner/chainCleaner.c.  Pipeline:
+
+1. net the chains in-process if no net given (chainNet -minScore=0 |
+   NetFilterNonNested -minScore1 3000; chainCleaner.c:1639-1668)
+2. walk the net: every depth>1 fill records (fill, enclosing gap, parent
+   chain) - parseFill (786-860); chains seen >1 time yield break candidates
+   from consecutive fill pairs - getValidBreaks (969-1079), filtered by
+   isBrokenByAnotherHigherScoringChain (868-885) against a merged interval
+   tree of net aligning blocks
+3. read chains; pass through all that are neither breaking nor broken
+   (readChainsOfInterest 584-618)
+4. fixed-point suspect removal per breaking chain - loopOverBreaks
+   (1452-1631) + testAndRemoveSuspect (1191-1398): score 4 sub-chains
+   (suspect + left/right/whole fill of the broken chain), apply ratio and
+   threshold tests, remove passing suspects from the breaking chain and
+   emit them as new chains + BED records
+5. rescore modified chains, write, chainSort (score desc)
+
+Output byte-parity requires kent hash-table iteration order (see
+utils/kenthash.py): break processing follows hashElListHash(breakHash)
+(reverse kent traversal), final chain-of-interest writes follow
+hashTraverseEls(chainId2IsOfInterest), and suspect/BED emission order
+follows the removal sequence.
+
+All sub-chain scoring goes through a ChainScorer (host numpy or batched
+device path).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from bisect import bisect_left, insort
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..device.genome import Genome
+from ..formats.chain import Chain, format_score, iter_chains
+from ..formats.gapcalc import gap_calc_from_file
+from ..formats.net import NetFill, read_nets
+from ..formats.scorematrix import read_score_scheme, score_scheme_default
+from ..utils.kenthash import KentHash
+from .chain_net import chain_net
+from .net_filter_nonnested import net_filter_non_nested
+from .scoring import ChainScorer, chain_global_score, chain_local_score
+
+INT_MAX = 2 ** 31 - 1
+
+
+@dataclass
+class FillGapInfo:
+    depth: int
+    chain_id: int
+    chrom: str
+    fill_start: int
+    fill_end: int
+    gap_start: int = 0
+    gap_end: int = 0
+    parent_chain_id: int = 0
+    gap_depth: int = 0
+
+
+class BreakInfo:
+    __slots__ = ("depth", "chain_id", "parent_chain_id", "chrom",
+                 "l_fill_start", "l_fill_end", "r_fill_start", "r_fill_end",
+                 "l_gap_start", "l_gap_end", "r_gap_start", "r_gap_end",
+                 "suspect_start", "suspect_end")
+
+    def __init__(self, depth, chain_id, parent_chain_id, chrom,
+                 lfs, lfe, rfs, rfe, lgs, lge, rgs, rge):
+        self.depth = depth
+        self.chain_id = chain_id
+        self.parent_chain_id = parent_chain_id
+        self.chrom = chrom
+        self.l_fill_start, self.l_fill_end = lfs, lfe
+        self.r_fill_start, self.r_fill_end = rfs, rfe
+        self.l_gap_start, self.l_gap_end = lgs, lge
+        self.r_gap_start, self.r_gap_end = rgs, rge
+        self.suspect_start = lge
+        self.suspect_end = rgs
+        assert self.suspect_start < self.suspect_end
+        assert self.l_fill_start < self.suspect_start
+        assert self.l_fill_end <= self.suspect_start
+        assert self.r_fill_start >= self.suspect_end
+        assert self.r_fill_end > self.suspect_end
+
+
+class _MergedRanges:
+    """genomeRangeTree emulation: per-chrom strictly-overlap-merged ranges
+    carrying lists of chain ids (genomeRangeTreeAddValList semantics)."""
+
+    def __init__(self):
+        self.raw: dict[str, list[tuple[int, int, int]]] = {}
+        self.merged: dict[str, tuple[np.ndarray, np.ndarray, list[list[int]]]] = {}
+
+    def add(self, chrom: str, start: int, end: int, chain_id: int):
+        self.raw.setdefault(chrom, []).append((start, end, chain_id))
+
+    def build(self):
+        for chrom, items in self.raw.items():
+            items = sorted(items, key=lambda x: (x[0], x[1]))
+            starts, ends, vals = [], [], []
+            for s, e, cid in items:
+                if starts and s < ends[-1]:  # strict overlap merges
+                    ends[-1] = max(ends[-1], e)
+                    vals[-1].append(cid)
+                else:
+                    starts.append(s)
+                    ends.append(e)
+                    vals.append([cid])
+            self.merged[chrom] = (np.array(starts, np.int64),
+                                  np.array(ends, np.int64), vals)
+
+    def overlapping_ids(self, chrom: str, start: int, end: int) -> list[int]:
+        if chrom not in self.merged:
+            return []
+        starts, ends, vals = self.merged[chrom]
+        lo = int(np.searchsorted(ends, start, side="right"))
+        hi = int(np.searchsorted(starts, end, side="left"))
+        out: list[int] = []
+        for i in range(lo, hi):
+            out.extend(vals[i])
+        return out
+
+
+def _parse_fill_walk(net_name: str, fills: list[NetFill], depth: int,
+                     depth2gap: dict, depth2chain: dict,
+                     chain_id_count: KentHash, fill_gap_lists: KentHash):
+    """parseFill (chainCleaner.c:786-860), linear walk of the net tree."""
+    for fill in fills:
+        if fill.is_fill:
+            depth2chain[depth] = fill.chain_id
+            if depth > 1:
+                key = str(fill.chain_id)
+                cnt = chain_id_count.lookup(key)
+                if cnt is None:
+                    chain_id_count.add(key, 1)
+                else:
+                    # hashIncInt updates in place (no re-add)
+                    chain_id_count.update(key, cnt + 1)
+                g_chrom, g_start, g_end, g_parent, g_depth = depth2gap[depth - 1]
+                fg = FillGapInfo(
+                    depth=depth, chain_id=fill.chain_id, chrom=net_name,
+                    fill_start=fill.t_start, fill_end=fill.t_end,
+                    gap_start=g_start, gap_end=g_end,
+                    parent_chain_id=g_parent, gap_depth=g_depth)
+                lst = fill_gap_lists.lookup(key)
+                if lst is None:
+                    fill_gap_lists.add(key, [fg])
+                else:
+                    lst.append(fg)
+        else:
+            depth2gap[depth] = (net_name, fill.t_start, fill.t_end,
+                                depth2chain[depth - 1], depth)
+        if fill.children:
+            _parse_fill_walk(net_name, fill.children, depth + 1, depth2gap,
+                             depth2chain, chain_id_count, fill_gap_lists)
+
+
+def _add_ali_blocks(tree: _MergedRanges, fill: NetFill, t_name: str):
+    """addAliBlocksToGenomeRangeTree (chainCleaner.c:718-737)."""
+    t_start = fill.t_start
+    children = fill.children
+    i = 0
+    while True:
+        # nextGapWithInsert: next child (gap) having children
+        j = None
+        for k in range(i, len(children)):
+            if children[k].children:
+                j = k
+                break
+        if j is None:
+            break
+        child = children[j]
+        tree.add(t_name, t_start, child.t_start, fill.chain_id)
+        t_start = child.t_start + child.t_size
+        i = j + 1
+    tree.add(t_name, t_start, fill.t_start + fill.t_size, fill.chain_id)
+
+
+def _r_convert(tree: _MergedRanges, fills: list[NetFill], t_name: str):
+    for fill in fills:
+        if fill.chain_id:
+            _add_ali_blocks(tree, fill, t_name)
+        if fill.children:
+            _r_convert(tree, fill.children, t_name)
+
+
+class ChainCleaner:
+    def __init__(self, scorer: ChainScorer,
+                 lr_fold_threshold: float = 2.5,
+                 fold_threshold: float = 0.0,
+                 max_suspect_bases: float = float(INT_MAX),
+                 max_suspect_score: float = 100000.0,
+                 min_broken_chain_score: float = 50000.0,
+                 min_lr_gap_size: int = 0,
+                 do_pairs: bool = False,
+                 lr_fold_threshold_pairs: float = 10.0,
+                 max_pair_distance: int = 10000):
+        self.scorer = scorer
+        self.lr_fold = lr_fold_threshold
+        self.fold = fold_threshold
+        self.max_suspect_bases = max_suspect_bases
+        self.max_suspect_score = max_suspect_score
+        self.min_broken_score = min_broken_chain_score
+        self.min_lr_gap = min_lr_gap_size
+        self.do_pairs = do_pairs
+        self.lr_fold_pairs = lr_fold_threshold_pairs
+        self.max_pair_distance = max_pair_distance
+
+        self.chain_of_interest = KentHash()  # chainId2IsOfInterest
+        self.needs_rescoring = KentHash()
+        self.break_hash = KentHash()  # parentChainId -> list[BreakInfo]
+        self.chains: dict[int, Chain] = {}  # chainId2chain
+        self.max_chain_id = -1
+        self.bed_lines: list[str] = []
+        self.suspect_chains: list[Chain] = []
+        self.new_id_dict: list[tuple[int, int]] = []
+
+    # ------------------------------------------------------------------
+    def find_breaks(self, nets) -> None:
+        """getFillGapAndValidBreaks (chainCleaner.c:1088-1169)."""
+        chain_id_count = KentHash()
+        fill_gap_lists = KentHash()
+        for net in nets:
+            depth2gap: dict[int, tuple] = {}
+            depth2chain: dict[int, int] = {}
+            _parse_fill_walk(net.name, net.fills, 1, depth2gap, depth2chain,
+                             chain_id_count, fill_gap_lists)
+
+        tree = _MergedRanges()
+        for net in nets:
+            _r_convert(tree, net.fills, net.name)
+        tree.build()
+
+        # getValidBreaks per hashTraverseEls(chainId2Count)
+        for key, count in chain_id_count.traverse_order():
+            if count == 1:
+                continue
+            fg_list: list[FillGapInfo] = fill_gap_lists.lookup(key)
+            for a, b in zip(fg_list, fg_list[1:]):
+                if a.depth != b.depth:
+                    continue
+                if a.parent_chain_id != b.parent_chain_id:
+                    continue
+                if self._broken_by_higher(tree, a.chrom, a.fill_end,
+                                          b.fill_start, a.chain_id,
+                                          a.parent_chain_id):
+                    continue
+                if a.gap_start == b.gap_start and a.gap_end == b.gap_end:
+                    continue
+                brk = BreakInfo(a.depth, a.chain_id, a.parent_chain_id,
+                                a.chrom, a.fill_start, a.fill_end,
+                                b.fill_start, b.fill_end,
+                                a.gap_start, a.gap_end,
+                                b.gap_start, b.gap_end)
+                self._hash_add_true(self.chain_of_interest, a.chain_id)
+                self._hash_add_true(self.chain_of_interest, a.parent_chain_id)
+                pkey = str(a.parent_chain_id)
+                lst = self.break_hash.lookup(pkey)
+                if lst is None:
+                    self.break_hash.add(pkey, [brk])
+                else:
+                    lst.append(brk)
+
+    @staticmethod
+    def _hash_add_true(h: KentHash, chain_id: int):
+        key = str(chain_id)
+        if key not in h:
+            h.add(key, True)
+
+    @staticmethod
+    def _broken_by_higher(tree: _MergedRanges, chrom, start, end, chain_id,
+                          parent_chain_id) -> bool:
+        for cid in tree.overlapping_ids(chrom, start, end):
+            if cid < chain_id and cid != parent_chain_id:
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def read_chains(self, chain_file: str, passthrough_out) -> None:
+        """readChainsOfInterest: keep breaking/broken chains, write rest."""
+        for chain in iter_chains(chain_file):
+            if self.max_chain_id < chain.id:
+                self.max_chain_id = chain.id
+            if str(chain.id) in self.chain_of_interest:
+                self.chains[chain.id] = chain
+            else:
+                passthrough_out.write(chain.to_text())
+
+    # ------------------------------------------------------------------
+    def _get_chain_score(self, chain: Chain) -> tuple[float, float]:
+        """getChainScore: sets chain.score to global; returns (global, local)."""
+        bs, gc = self.scorer.score_arrays(chain)
+        g = float(chain_global_score(bs, gc))
+        loc = float(chain_local_score(bs, gc))
+        chain.score = g
+        return g, loc
+
+    def _test_and_remove(self, brk: BreakInfo, upstream: BreakInfo | None,
+                         downstream: BreakInfo | None,
+                         is_pair: bool) -> tuple[bool, bool]:
+        """testAndRemoveSuspect.  Returns (removed, breaks_updated)."""
+        breaking = self.chains.get(brk.parent_chain_id)
+        if breaking is None:
+            raise KeyError(f"breaking chain {brk.parent_chain_id} missing")
+        broken = self.chains.get(brk.chain_id)
+        if broken is None:
+            raise KeyError(f"broken chain {brk.chain_id} missing")
+        breaking_score = breaking.score
+        broken_score = broken.score
+
+        sub_suspect = breaking.subset_on_t(brk.suspect_start, brk.suspect_end)
+        sub_fill = broken.subset_on_t(brk.l_fill_start, brk.r_fill_end)
+        sub_lfill = broken.subset_on_t(brk.l_fill_start, brk.suspect_end)
+        sub_rfill = broken.subset_on_t(brk.suspect_start, brk.r_fill_end)
+
+        if sub_suspect is None:
+            return False, False
+
+        _, suspect_local = self._get_chain_score(sub_suspect)
+        self._get_chain_score(sub_fill)
+        self._get_chain_score(sub_lfill)
+        self._get_chain_score(sub_rfill)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = float(np.float64(sub_fill.score) / np.float64(suspect_local))
+            ratio_l = float(np.float64(sub_lfill.score) / np.float64(suspect_local))
+            ratio_r = float(np.float64(sub_rfill.score) / np.float64(suspect_local))
+
+        suspect_bases = int((sub_suspect.blocks[:, 1]
+                             - sub_suspect.blocks[:, 0]).sum())
+
+        lr_threshold = self.lr_fold_pairs if is_pair else self.lr_fold
+        removed = (
+            ratio_l >= lr_threshold and ratio_r >= lr_threshold
+            and ratio >= self.fold
+            and suspect_local <= self.max_suspect_score
+            and suspect_bases <= self.max_suspect_bases
+            and broken_score >= self.min_broken_score
+            and (brk.l_gap_end - brk.l_gap_start) >= self.min_lr_gap
+            and (brk.r_gap_end - brk.r_gap_start) >= self.min_lr_gap
+        )
+
+        breaks_updated = False
+        if removed:
+            self._hash_add_true(self.needs_rescoring, breaking.id)
+            color = "0,100,255" if is_pair else "0,0,153"
+            self.bed_lines.append(
+                f"{brk.chrom}\t{brk.suspect_start}\t{brk.suspect_end}\t"
+                f"breakingChainID_{brk.parent_chain_id}_Score_{int(breaking_score)}"
+                f"_brokenChainID_{brk.chain_id}_Score_{int(broken_score)}"
+                f"_suspectLocalScore_{int(suspect_local)}"
+                f"_RatioL_{ratio_l:.2f}_RatioR_{ratio_r:.2f}\t1000\t+\t"
+                f"{brk.suspect_start}\t{brk.suspect_end}\t{color}\n")
+            breaking.remove_blocks_in_t_range(brk.suspect_start, brk.suspect_end)
+            self.max_chain_id += 1
+            sub_suspect.id = self.max_chain_id
+            self.new_id_dict.append((sub_suspect.id, breaking.id))
+            self.suspect_chains.append(sub_suspect)
+
+            if upstream is not None:
+                if (brk.chain_id == upstream.chain_id
+                        and brk.parent_chain_id == upstream.parent_chain_id
+                        and upstream.r_fill_start == brk.l_fill_start
+                        and upstream.r_fill_end == brk.l_fill_end):
+                    breaks_updated = True
+                    assert upstream.l_fill_end < brk.l_fill_start
+                    assert upstream.suspect_end < brk.suspect_start
+                    upstream.r_fill_end = brk.r_fill_end
+                    upstream.r_gap_end = brk.r_gap_end
+            if downstream is not None:
+                if (brk.chain_id == downstream.chain_id
+                        and brk.parent_chain_id == downstream.parent_chain_id
+                        and downstream.l_fill_start == brk.r_fill_start
+                        and downstream.l_fill_end == brk.r_fill_end):
+                    breaks_updated = True
+                    assert downstream.r_fill_start > brk.r_fill_end
+                    assert downstream.suspect_start > brk.suspect_end
+                    downstream.l_fill_start = brk.l_fill_start
+                    downstream.l_gap_start = brk.l_gap_start
+        return removed, breaks_updated
+
+    def loop_over_breaks(self) -> None:
+        """loopOverBreaks (chainCleaner.c:1452-1631)."""
+        for _, break_list in self.break_hash.el_list_order():
+            while True:  # overall iteration (singles then pairs)
+                # --- singles fixed point ---
+                while True:
+                    any_updated_single = False
+                    i = 0
+                    while i < len(break_list):
+                        brk = break_list[i]
+                        upstream = break_list[i - 1] if i > 0 else None
+                        downstream = break_list[i + 1] if i + 1 < len(break_list) else None
+                        removed, updated = self._test_and_remove(
+                            brk, upstream, downstream, is_pair=False)
+                        if updated:
+                            any_updated_single = True
+                        if removed:
+                            del break_list[i]
+                        else:
+                            i += 1
+                    if not any_updated_single or not break_list:
+                        break
+
+                any_updated_pair = False
+                if self.do_pairs:
+                    i = 0
+                    while i < len(break_list) - 1:
+                        up = break_list[i]
+                        down = break_list[i + 1]
+                        if self._is_valid_pair(up, down):
+                            pair = BreakInfo(
+                                up.depth, up.chain_id, up.parent_chain_id,
+                                up.chrom, up.l_fill_start, up.l_fill_end,
+                                down.r_fill_start, down.r_fill_end,
+                                up.l_gap_start, up.l_gap_end,
+                                down.r_gap_start, down.r_gap_end)
+                            before = break_list[i - 1] if i > 0 else None
+                            after = (break_list[i + 2]
+                                     if i + 2 < len(break_list) else None)
+                            removed, updated = self._test_and_remove(
+                                pair, before, after, is_pair=True)
+                            if updated:
+                                any_updated_pair = True
+                            if removed:
+                                del break_list[i:i + 2]
+                            else:
+                                i += 1
+                        else:
+                            i += 1
+
+                if not any_updated_pair or not break_list:
+                    break
+
+    def _is_valid_pair(self, up: BreakInfo, down: BreakInfo) -> bool:
+        if (up.parent_chain_id != down.parent_chain_id
+                or up.chain_id != down.chain_id):
+            return False
+        if up.depth != down.depth:
+            return False
+        if down.suspect_start - up.suspect_end > self.max_pair_distance:
+            return False
+        return (up.r_gap_start == down.l_gap_start
+                and up.r_gap_end == down.l_gap_end)
+
+    # ------------------------------------------------------------------
+    def write_chains_of_interest(self, out) -> None:
+        """writeAndFreeChainsOfInterest over hashTraverseEls order."""
+        for key, _ in self.chain_of_interest.traverse_order():
+            chain = self.chains.get(int(key))
+            if chain is None:
+                raise KeyError(f"chain {key} missing from chainId2chain")
+            if key in self.needs_rescoring:
+                self._get_chain_score(chain)
+            out.write(chain.to_text())
+
+
+def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
+                 out_chain_path: str, out_bed_path: str,
+                 net_file: str | None = None,
+                 t_sizes: str | None = None, q_sizes: str | None = None,
+                 linear_gap: str = "loose", score_scheme: str | None = None,
+                 new_chain_id_dict_path: str | None = None,
+                 scorer_factory=None, **thresholds) -> None:
+    """Full chainCleaner pipeline (chainCleaner.c main, 1678-1899)."""
+    scheme = (read_score_scheme(score_scheme) if score_scheme
+              else score_scheme_default())
+    gap_calc = gap_calc_from_file(linear_gap)
+    factory = scorer_factory or ChainScorer
+    scorer = factory(scheme, gap_calc, Genome(t_2bit), Genome(q_2bit))
+
+    if net_file is None:
+        if t_sizes is None or q_sizes is None:
+            raise ValueError("need -tSizes/-qSizes when no -net is given")
+        # in-process netting: chainNet -minScore=0 | NetFilterNonNested
+        # -minScore1 3000 (chainCleaner.c:1660)
+        t_net = io.StringIO()
+        q_sink = io.StringIO()
+        chain_net(in_chain, t_sizes, q_sizes, t_net, q_sink, min_score=0)
+        filtered = io.StringIO()
+        net_filter_non_nested(t_net.getvalue().splitlines(), filtered,
+                              min_score1=3000)
+        nets = read_nets(io.StringIO(filtered.getvalue()))
+    else:
+        nets = read_nets(net_file)
+
+    cleaner = ChainCleaner(scorer, **thresholds)
+    cleaner.find_breaks(nets)
+
+    unsorted = io.StringIO()
+    cleaner.read_chains(in_chain, unsorted)
+    cleaner.loop_over_breaks()
+    # suspect chains were emitted during the loop, in removal order
+    for sus in cleaner.suspect_chains:
+        unsorted.write(sus.to_text())
+    cleaner.write_chains_of_interest(unsorted)
+
+    with open(out_bed_path, "w") as f:
+        f.writelines(cleaner.bed_lines)
+    if new_chain_id_dict_path:
+        with open(new_chain_id_dict_path, "w") as f:
+            for new_id, old_id in cleaner.new_id_dict:
+                f.write(f"{new_id}\t{old_id}\n")
+
+    # chainSort (score desc, stable)
+    from ..formats.chain import read_chains, sort_chains_by_score, write_chains
+    chains = read_chains(io.StringIO(unsorted.getvalue()))
+    write_chains(sort_chains_by_score(chains), out_chain_path)
+
+
+def chain_cleaner_main(argv: list[str]) -> int:
+    from ..cli.main import _parse_kent_args
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 5:
+        print("usage: chainCleaner in.chain t.2bit q.2bit out.chain out.bed "
+              "{-net=in.net | -tSizes=t.sizes -qSizes=q.sizes} "
+              "-linearGap=loose|medium|file [options]", file=sys.stderr)
+        return 255
+    thresholds = {}
+    if "LRfoldThreshold" in opts:
+        thresholds["lr_fold_threshold"] = float(opts["LRfoldThreshold"])
+    if "foldThreshold" in opts:
+        thresholds["fold_threshold"] = float(opts["foldThreshold"])
+    if "maxSuspectBases" in opts:
+        thresholds["max_suspect_bases"] = float(opts["maxSuspectBases"])
+    if "maxSuspectScore" in opts:
+        thresholds["max_suspect_score"] = float(opts["maxSuspectScore"])
+    if "minBrokenChainScore" in opts:
+        thresholds["min_broken_chain_score"] = float(opts["minBrokenChainScore"])
+    if "minLRGapSize" in opts:
+        thresholds["min_lr_gap_size"] = int(opts["minLRGapSize"])
+    if "doPairs" in opts:
+        thresholds["do_pairs"] = True
+    if "LRfoldThresholdPairs" in opts:
+        thresholds["lr_fold_threshold_pairs"] = float(opts["LRfoldThresholdPairs"])
+    if "maxPairDistance" in opts:
+        thresholds["max_pair_distance"] = int(opts["maxPairDistance"])
+    clean_chains(
+        pos[0], pos[1], pos[2], pos[3], pos[4],
+        net_file=opts.get("net"),
+        t_sizes=opts.get("tSizes"), q_sizes=opts.get("qSizes"),
+        linear_gap=opts.get("linearGap", "loose"),
+        score_scheme=opts.get("scoreScheme"),
+        new_chain_id_dict_path=opts.get("newChainIDDict"),
+        **thresholds)
+    return 0

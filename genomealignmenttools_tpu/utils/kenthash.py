@@ -74,6 +74,16 @@ class KentHash:
         hv = kent_hash_string(name)
         return any(n == name for n, _, _ in self.table[hv & self.mask])
 
+    def update(self, name: str, val: object) -> None:
+        """Replace the value of an existing entry in place (no reorder)."""
+        hv = kent_hash_string(name)
+        bucket = self.table[hv & self.mask]
+        for i, (n, _, h) in enumerate(bucket):
+            if n == name:
+                bucket[i] = (n, val, h)
+                return
+        raise KeyError(name)
+
     def remove(self, name: str) -> None:
         hv = kent_hash_string(name)
         bucket = self.table[hv & self.mask]

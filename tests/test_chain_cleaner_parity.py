@@ -1,0 +1,58 @@
+"""Byte-parity of chainCleaner + NetFilterNonNested against C/Perl goldens."""
+
+import io
+import os
+
+from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
+from genomealignmenttools_tpu.engines.chain_net import chain_net
+from genomealignmenttools_tpu.engines.net_filter_nonnested import (
+    net_filter_non_nested)
+
+
+def test_net_filter_non_nested_pipeline(fixtures_dir, tmp_path):
+    """chainNet -minScore=0 | NetFilterNonNested -minScore1 3000 matches the
+    perl-produced cleaner_input.net fixture."""
+    t_out, q_out = io.StringIO(), io.StringIO()
+    chain_net(
+        os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"),
+        t_out, q_out, min_score=0)
+    filtered = io.StringIO()
+    net_filter_non_nested(t_out.getvalue().splitlines(), filtered,
+                          min_score1=3000)
+    golden = open(os.path.join(fixtures_dir, "cleaner_input.net")).read()
+    assert filtered.getvalue() == golden
+
+
+def _run_cleaner(fixtures_dir, tmp_path, net_file=None, **kw):
+    out_chain = str(tmp_path / "clean.chain")
+    out_bed = str(tmp_path / "clean.bed")
+    clean_chains(
+        os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"),
+        out_chain, out_bed, net_file=net_file,
+        t_sizes=os.path.join(fixtures_dir, "target.chrom.sizes"),
+        q_sizes=os.path.join(fixtures_dir, "query.chrom.sizes"),
+        linear_gap="loose", **kw)
+    return open(out_chain).read(), open(out_bed).read()
+
+
+def test_chain_cleaner_with_net(fixtures_dir, golden_dir, tmp_path):
+    chain, bed = _run_cleaner(
+        fixtures_dir, tmp_path,
+        net_file=os.path.join(fixtures_dir, "cleaner_input.net"))
+    assert bed == open(os.path.join(golden_dir,
+                                    "chainCleaner.removedSuspects.bed")).read()
+    assert chain == open(os.path.join(golden_dir,
+                                      "chainCleaner.out.chain")).read()
+
+
+def test_chain_cleaner_internal_netting(fixtures_dir, golden_dir, tmp_path):
+    """Without -net, the engine nets in-process; result must be identical."""
+    chain, bed = _run_cleaner(fixtures_dir, tmp_path, net_file=None)
+    assert bed == open(os.path.join(golden_dir,
+                                    "chainCleaner.removedSuspects.bed")).read()
+    assert chain == open(os.path.join(golden_dir,
+                                      "chainCleaner.out.chain")).read()

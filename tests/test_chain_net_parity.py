@@ -1,0 +1,41 @@
+"""Byte-parity of the chainNet engine against reference C goldens."""
+
+import io
+import os
+
+from genomealignmenttools_tpu.engines.chain_net import chain_net
+
+
+def _run(fixtures_dir, **kw):
+    t_out, q_out = io.StringIO(), io.StringIO()
+    chain_net(
+        os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"),
+        t_out, q_out, **kw)
+    return t_out.getvalue(), q_out.getvalue()
+
+
+def test_chain_net_plain(fixtures_dir, golden_dir):
+    t, q = _run(fixtures_dir)
+    assert t == open(os.path.join(golden_dir, "chainNet.target.net")).read()
+    assert q == open(os.path.join(golden_dir, "chainNet.query.net")).read()
+
+
+def test_chain_net_rescore(fixtures_dir, golden_dir):
+    t, q = _run(
+        fixtures_dir, rescore=True,
+        t_2bit=os.path.join(fixtures_dir, "target.2bit"),
+        q_2bit=os.path.join(fixtures_dir, "query.2bit"),
+        linear_gap="loose")
+    assert t == open(os.path.join(golden_dir, "chainNetRescore.target.net")).read()
+    assert q == open(os.path.join(golden_dir, "chainNetRescore.query.net")).read()
+
+
+def test_net_read_write_roundtrip(golden_dir, tmp_path):
+    from genomealignmenttools_tpu.formats.net import read_nets, write_nets
+    src = os.path.join(golden_dir, "chainNet.target.net")
+    nets = read_nets(src)
+    out = io.StringIO()
+    write_nets(nets, out)
+    assert out.getvalue() == open(src).read()
