@@ -2,11 +2,17 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests are hermetic-CPU; TPU via bench.py
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize may have imported jax already with the TPU backend;
+# re-point it at CPU before any backend initialization happens.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys  # noqa: E402
 

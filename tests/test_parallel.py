@@ -1,0 +1,37 @@
+"""Sharded rescoring over a virtual 8-device CPU mesh: results must be
+identical to the single-device host path regardless of shard count."""
+
+import os
+
+import numpy as np
+
+from genomealignmenttools_tpu.device.genome import Genome
+from genomealignmenttools_tpu.engines.scoring import ChainScorer
+from genomealignmenttools_tpu.formats.chain import read_chains
+from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
+from genomealignmenttools_tpu.formats.scorematrix import score_scheme_default
+from genomealignmenttools_tpu.parallel.mesh import ShardedBlockScorer, make_mesh
+
+
+def test_sharded_scores_match_host(fixtures_dir):
+    import jax
+    assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
+    scheme = score_scheme_default()
+    gc = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = [c for c in read_chains(os.path.join(fixtures_dir,
+                                                  "synthetic.chain"))
+              if c.t_name == "chrA" and c.q_name == "chrQ1"
+              and c.q_strand == "+"]
+    host = ChainScorer(scheme, gc, t_genome, q_genome)
+
+    blocks = np.concatenate([c.blocks for c in chains])
+    expected = np.concatenate([host.score_arrays(c)[0] for c in chains])
+
+    for n_dev in (1, 2, 8):
+        mesh = make_mesh(n_dev)
+        scorer = ShardedBlockScorer(np.asarray(scheme.lut), mesh)
+        got = scorer.block_scores(t_genome.codes("chrA"),
+                                  q_genome.codes("chrQ1"), blocks)
+        assert np.array_equal(got, expected), f"mismatch at n_dev={n_dev}"
