@@ -86,6 +86,11 @@ def cmd_chain_cleaner(argv: list[str]) -> int:
     return chain_cleaner_main(argv)
 
 
+def cmd_axt_chain(argv: list[str]) -> int:
+    from ..engines.axt_chain import axt_chain_main
+    return axt_chain_main(argv)
+
+
 def cmd_net_filter_non_nested(argv: list[str]) -> int:
     from ..engines.net_filter_nonnested import net_filter_non_nested_main
     return net_filter_non_nested_main(argv)
@@ -98,6 +103,7 @@ def cmd_repeat_filler(argv: list[str]) -> int:
 
 COMMANDS = {
     "scoreChain": cmd_score_chain,
+    "axtChain": cmd_axt_chain,
     "chainSort": cmd_chain_sort,
     "chainNet": cmd_chain_net,
     "chainCleaner": cmd_chain_cleaner,

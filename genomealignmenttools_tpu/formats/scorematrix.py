@@ -123,12 +123,21 @@ def read_score_scheme(path: str) -> ScoreScheme:
     i = 0
     n = len(lines)
 
+    raw_line = [None]
+
     def next_words(idx):
+        # kent's lineFileChopNext skips blank and '#'-comment lines and
+        # chops at most 6 words (ArraySize(row)); trailing words beyond six
+        # only matter for settings lines, which strip at '#' anyway.  The
+        # raw line is kept for the post-matrix O/E line, which the C code
+        # reads unchopped (axtScoreSchemeReadLf).
         while idx < n:
-            words = lines[idx].split()
-            if words:
-                return idx, words
+            stripped = lines[idx].strip()
+            if stripped and not stripped.startswith("#"):
+                raw_line[0] = lines[idx]
+                return idx, lines[idx].split()[:6]
             idx += 1
+        raw_line[0] = None
         return idx, None
 
     i, words = next_words(i)
@@ -160,7 +169,7 @@ def read_score_scheme(path: str) -> ScoreScheme:
         # optional last line: O = 400, E = 30
         i, words = next_words(i + 1)
         if words is not None:
-            line = " ".join(words)
+            line = raw_line[0]
             extra_parts.append(line)
             toks = [t for t in line.replace("=", " ").replace(",", " ").split() if t]
             for k in range(len(toks) - 1):
