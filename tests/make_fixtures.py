@@ -235,6 +235,51 @@ def main():
             chains.append(cchain)
         t_cursor = tp + int(rng.integers(5_000, 20_000))
 
+    # --- RepeatFiller scenarios on chrB: a chain whose gap interior holds a
+    # planted (repeat-like) homolog on both sides, eligible for gap filling
+    t_size_b = T_CHROMS["chrB"]
+    q_size_2 = Q_CHROMS["chrQ2"]
+    for rf_i, strand in enumerate(["+", "-"]):
+        tp = 10_000 + rf_i * 60_000
+        qp = 5_000 + rf_i * 60_000
+        rf_blocks = []
+        rf_idents = []
+        qq = qp
+        for _ in range(6):  # left anchor
+            bs = 800
+            rf_blocks.append((tp, tp + bs, qq, qq + bs))
+            rf_idents.append(0.94)
+            tp += bs + int(rng.integers(5, 40))
+            qq += bs + int(rng.integers(5, 40))
+        gap_t_start, gap_q_start = tp, qq
+        tp += 2_000   # t gap
+        qq += 2_400   # q gap
+        for _ in range(6):  # right anchor
+            bs = 800
+            rf_blocks.append((tp, tp + bs, qq, qq + bs))
+            rf_idents.append(0.94)
+            tp += bs + int(rng.integers(5, 40))
+            qq += bs + int(rng.integers(5, 40))
+        rfchain = chain_from_blocks(rf_blocks, cid, "chrB", t_size_b,
+                                    "chrQ2", q_size_2, strand)
+        cid += 1
+        if painter.reserve("chrQ2", qp, qq + 1000):
+            painter.plant(t_seq["chrB"], rfchain, rf_idents)
+            chains.append(rfchain)
+            # plant an 800bp homolog inside the gap (90% identity);
+            # coordinates in chain space -> query plus-strand via painter
+            frag_t0 = gap_t_start + 600
+            frag = mutate(rng, t_seq["chrB"][frag_t0:frag_t0 + 800], 0.90)
+            q_chain_pos = gap_q_start + 700
+            qarr = painter.seq["chrQ2"]
+            if strand == "+":
+                qarr[q_chain_pos:q_chain_pos + 800] = frag
+            else:
+                # chain q coords are rc-space: plus-strand slot is
+                # [qSize - (pos+800), qSize - pos)
+                qarr[q_size_2 - (q_chain_pos + 800):q_size_2 - q_chain_pos] = \
+                    revcomp(frag)
+
     # --- generic random homologous chains ----------------------------------
     t_items = list(T_CHROMS.items())
     q_items = list(Q_CHROMS.items())
