@@ -101,10 +101,220 @@ def cmd_repeat_filler(argv: list[str]) -> int:
     return repeat_filler_main(argv)
 
 
+
+
+def cmd_chain_pre_net(argv):
+    from ..engines.chain_tools import chain_pre_net
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: chainPreNet in.chain target.sizes query.sizes out.chain",
+              file=sys.stderr)
+        return 255
+    chain_pre_net(pos[0], pos[1], pos[2],
+                  sys.stdout if pos[3] == "stdout" else pos[3],
+                  pad=int(opts.get("pad", 1)), incl_hap="inclHap" in opts)
+    return 0
+
+
+def cmd_chain_stitch_id(argv):
+    from ..engines.chain_tools import chain_stitch_id
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: chainStitchId in.chain out.chain", file=sys.stderr)
+        return 255
+    chain_stitch_id(pos[0], sys.stdout if pos[1] == "stdout" else pos[1])
+    return 0
+
+
+def cmd_chain_filter(argv):
+    from ..engines.chain_tools import chain_filter, BIGNUM
+    pos, o = _parse_kent_args(argv)
+    if not pos:
+        print("usage: chainFilter file(s) [options] > out.chain", file=sys.stderr)
+        return 255
+    chain_filter(
+        pos, sys.stdout,
+        q=o.get("q"), not_q=o.get("notQ"), t=o.get("t"), not_t=o.get("notT"),
+        id_=int(o["id"]) if "id" in o else None,
+        id_list=o.get("idList"), id_file=o.get("idFile"),
+        id_exclude_file=o.get("idExcludeFile"),
+        min_score=float(o.get("minScore", -BIGNUM)),
+        max_score=float(o.get("maxScore", 1.0e20)),
+        q_start_min=int(o.get("qStartMin", -BIGNUM)),
+        q_start_max=int(o.get("qStartMax", BIGNUM)),
+        q_end_min=int(o.get("qEndMin", -BIGNUM)),
+        q_end_max=int(o.get("qEndMax", BIGNUM)),
+        t_start_min=int(o.get("tStartMin", -BIGNUM)),
+        t_start_max=int(o.get("tStartMax", BIGNUM)),
+        t_end_min=int(o.get("tEndMin", -BIGNUM)),
+        t_end_max=int(o.get("tEndMax", BIGNUM)),
+        q_overlap_start=int(o.get("qOverlapStart", -BIGNUM)),
+        q_overlap_end=int(o.get("qOverlapEnd", BIGNUM)),
+        t_overlap_start=int(o.get("tOverlapStart", -BIGNUM)),
+        t_overlap_end=int(o.get("tOverlapEnd", BIGNUM)),
+        strand=o.get("strand"), do_long="long" in o, zero_gap="zeroGap" in o,
+        min_gapless=int(o.get("minGapless", 0)),
+        q_min_gap=int(o.get("qMinGap", 0)), t_min_gap=int(o.get("tMinGap", 0)),
+        q_max_gap=int(o.get("qMaxGap", 0)), t_max_gap=int(o.get("tMaxGap", 0)),
+        q_min_size=int(o.get("qMinSize", 0)),
+        q_max_size=int(o.get("qMaxSize", BIGNUM)),
+        t_min_size=int(o.get("tMinSize", 0)),
+        t_max_size=int(o.get("tMaxSize", BIGNUM)),
+        no_random="noRandom" in o, no_hap="noHap" in o)
+    return 0
+
+
+def cmd_chain_split(argv):
+    from ..engines.chain_tools import chain_split
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) < 2:
+        print("usage: chainSplit outDir in.chain... [-q] [-lump=N]",
+              file=sys.stderr)
+        return 255
+    chain_split(pos[0], pos[1:], split_on_q="q" in opts,
+                lump=int(opts.get("lump", 0)))
+    return 0
+
+
+def cmd_chain_merge_sort(argv):
+    from ..engines.chain_tools import chain_merge_sort
+    pos, opts = _parse_kent_args(argv)
+    if not pos:
+        print("usage: chainMergeSort file(s) [-saveId] > out.chain",
+              file=sys.stderr)
+        return 255
+    chain_merge_sort(pos, sys.stdout, save_id="saveId" in opts)
+    return 0
+
+
+def cmd_chain_swap(argv):
+    from ..engines.chain_tools import chain_swap
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: chainSwap in.chain out.chain", file=sys.stderr)
+        return 255
+    chain_swap(pos[0], sys.stdout if pos[1] == "stdout" else pos[1])
+    return 0
+
+
+def cmd_chain_anti_repeat(argv):
+    from ..engines.chain_tools import chain_anti_repeat
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: chainAntiRepeat t.2bit q.2bit in.chain out.chain",
+              file=sys.stderr)
+        return 255
+    chain_anti_repeat(pos[0], pos[1], pos[2],
+                      sys.stdout if pos[3] == "stdout" else pos[3],
+                      min_score=int(opts.get("minScore", 5000)),
+                      no_check_score=int(opts.get("noCheckScore", 200000)))
+    return 0
+
+
+def cmd_chain_to_axt(argv):
+    from ..engines.chain_tools import chain_to_axt
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: chainToAxt in.chain t.2bit q.2bit out.axt [-maxGap=N]",
+              file=sys.stderr)
+        return 255
+    chain_to_axt(pos[0], pos[1], pos[2],
+                 sys.stdout if pos[3] == "stdout" else pos[3],
+                 max_gap=int(opts.get("maxGap", 100)))
+    return 0
+
+
+def cmd_net_syntenic(argv):
+    from ..engines.net_tools import net_syntenic
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: netSyntenic in.net out.net", file=sys.stderr)
+        return 255
+    net_syntenic(pos[0], sys.stdout if pos[1] == "stdout" else pos[1])
+    return 0
+
+
+def cmd_net_filter(argv):
+    from ..engines.net_tools import net_filter, BIGNUM
+    pos, o = _parse_kent_args(argv)
+    if not pos:
+        print("usage: netFilter in.net... [options] > out.net", file=sys.stderr)
+        return 255
+    net_filter(
+        pos, sys.stdout,
+        q=o.get("q"), not_q=o.get("notQ"), t=o.get("t"), not_t=o.get("notT"),
+        min_score=float(o.get("minScore", -BIGNUM)),
+        max_score=float(o.get("maxScore", 9e99)),
+        min_gap=int(o.get("minGap", 0)), min_ali=int(o.get("minAli", 0)),
+        max_ali=int(o.get("maxAli", 0)),
+        min_size_t=int(o.get("minSizeT", 0)),
+        min_size_q=int(o.get("minSizeQ", 0)),
+        syn="syn" in o, non_syn="nonsyn" in o, chimp_syn="chimpSyn" in o,
+        min_top_score=float(o.get("minTopScore", 300000)),
+        min_syn_score=float(o.get("minSynScore", 200000)),
+        min_syn_size=float(o.get("minSynSize", 20000)),
+        min_syn_ali=float(o.get("minSynAli", 10000)),
+        max_far=float(o.get("maxFar", 200000)),
+        fill_only="fill" in o, gap_only="gap" in o,
+        types=o.get("type"), no_random="noRandom" in o, no_hap="noHap" in o)
+    return 0
+
+
+def cmd_net_to_bed(argv):
+    from ..engines.net_tools import net_to_bed
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: netToBed in.net out.bed [-maxGap=N] [-minFill=N]",
+              file=sys.stderr)
+        return 255
+    net_to_bed(pos[0], sys.stdout if pos[1] == "stdout" else pos[1],
+               max_gap=int(opts["maxGap"]) if "maxGap" in opts else None,
+               min_fill=int(opts["minFill"]) if "minFill" in opts else None)
+    return 0
+
+
+def cmd_net_split(argv):
+    from ..engines.net_tools import net_split
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: netSplit in.net outDir", file=sys.stderr)
+        return 255
+    net_split(pos[0], pos[1])
+    return 0
+
+
+def cmd_net_to_axt(argv):
+    from ..engines.net_tools import net_to_axt
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 5:
+        print("usage: netToAxt in.net in.chain t.2bit q.2bit out.axt "
+              "[-maxGap=N] [-qChain] [-noSplit]", file=sys.stderr)
+        return 255
+    net_to_axt(pos[0], pos[1], pos[2], pos[3],
+               sys.stdout if pos[4] == "stdout" else pos[4],
+               max_gap=int(opts.get("maxGap", 100)),
+               q_chain="qChain" in opts,
+               split_on_insert="noSplit" not in opts)
+    return 0
+
+
 COMMANDS = {
     "scoreChain": cmd_score_chain,
     "axtChain": cmd_axt_chain,
     "chainSort": cmd_chain_sort,
+    "chainPreNet": cmd_chain_pre_net,
+    "chainStitchId": cmd_chain_stitch_id,
+    "chainFilter": cmd_chain_filter,
+    "chainSplit": cmd_chain_split,
+    "chainMergeSort": cmd_chain_merge_sort,
+    "chainSwap": cmd_chain_swap,
+    "chainAntiRepeat": cmd_chain_anti_repeat,
+    "chainToAxt": cmd_chain_to_axt,
+    "netSyntenic": cmd_net_syntenic,
+    "netFilter": cmd_net_filter,
+    "netToBed": cmd_net_to_bed,
+    "netSplit": cmd_net_split,
+    "netToAxt": cmd_net_to_axt,
     "chainNet": cmd_chain_net,
     "chainCleaner": cmd_chain_cleaner,
     "NetFilterNonNested": cmd_net_filter_non_nested,

@@ -147,9 +147,10 @@ def _format_fill(f: NetFill) -> str:
              f"{f.q_start} {f.q_size}"]
     if f.chain_id:
         parts.append(f"id {f.chain_id}")
-    if f.score is not None:
+    # cnFillWrite prints score only when > 0 and ali only when > 0
+    if f.score is not None and f.score > 0:
         parts.append(f"score {f.score:.0f}")
-    if f.ali is not None:
+    if f.ali is not None and f.ali > 0:
         parts.append(f"ali {f.ali}")
     if f.q_over is not None:
         parts.append(f"qOver {f.q_over}")

@@ -383,6 +383,104 @@ def main():
          os.path.join(GOLD, "chainCleaner.removedSuspects.bed"),
          f"-net={prenet}",
          "-linearGap=loose"])
+
+    # ------------------------------------------------------------------
+    # goldens for the stock kent tool suite
+    # ------------------------------------------------------------------
+    KB = KENT_BIN
+    tsz = os.path.join(FIX, "target.chrom.sizes")
+    qsz = os.path.join(FIX, "query.chrom.sizes")
+
+    run([os.path.join(KB, "chainPreNet"), sorted_chain, tsz, qsz,
+         os.path.join(GOLD, "chainPreNet.chain")])
+    run([os.path.join(KB, "chainSwap"), sorted_chain,
+         os.path.join(GOLD, "chainSwap.chain")])
+    run([os.path.join(KB, "chainToAxt"), sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "chainToAxt.axt")])
+    run([os.path.join(KB, "chainAntiRepeat"), t2bit, q2bit, sorted_chain,
+         os.path.join(GOLD, "chainAntiRepeat.chain")])
+
+    # chainFilter variants (stdout tools)
+    env2 = dict(os.environ)
+    env2["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env2["PATH"]
+    for name, args in [
+        ("chainFilter.minScore", ["-minScore=100000"]),
+        ("chainFilter.tStrand", ["-t=chrA", "-strand=-"]),
+        ("chainFilter.zeroGap", ["-zeroGap", "-long"]),
+    ]:
+        with open(os.path.join(GOLD, name + ".chain"), "w") as fh:
+            subprocess.run([os.path.join(KB, "chainFilter")] + args
+                           + [sorted_chain], check=True, stdout=fh, env=env2)
+
+    # chainStitchId: fragment chains sharing ids
+    frag_path = os.path.join(FIX, "fragments.chain")
+    from genomealignmenttools_tpu.formats.chain import read_chains as rc2, \
+        write_chains as wc2
+    frag_out = []
+    for c in rc2(sorted_chain):
+        if c.n_blocks > 6:
+            mid = c.n_blocks // 2
+            c1 = Chain(score=c.score / 2, t_name=c.t_name, t_size=c.t_size,
+                       t_start=int(c.blocks[0, 0]), t_end=int(c.blocks[mid - 1, 1]),
+                       q_name=c.q_name, q_size=c.q_size, q_strand=c.q_strand,
+                       q_start=int(c.blocks[0, 2]), q_end=int(c.blocks[mid - 1, 3]),
+                       id=c.id, blocks=c.blocks[:mid].copy())
+            c2 = Chain(score=c.score / 2, t_name=c.t_name, t_size=c.t_size,
+                       t_start=int(c.blocks[mid, 0]), t_end=int(c.blocks[-1, 1]),
+                       q_name=c.q_name, q_size=c.q_size, q_strand=c.q_strand,
+                       q_start=int(c.blocks[mid, 2]), q_end=int(c.blocks[-1, 3]),
+                       id=c.id, blocks=c.blocks[mid:].copy())
+            frag_out.extend([c1, c2])
+        else:
+            frag_out.append(c)
+    wc2(frag_out, frag_path)
+    run([os.path.join(KB, "chainStitchId"), frag_path,
+         os.path.join(GOLD, "chainStitchId.chain")])
+
+    # chainMergeSort: 3 score-sorted slices
+    parts = [[], [], []]
+    for i, c in enumerate(rc2(sorted_chain)):
+        parts[i % 3].append(c)
+    part_paths = []
+    for i, p in enumerate(parts):
+        pp = os.path.join(FIX, f"mergepart{i}.chain")
+        wc2(p, pp)
+        part_paths.append(pp)
+    with open(os.path.join(GOLD, "chainMergeSort.chain"), "w") as fh:
+        subprocess.run([os.path.join(KB, "chainMergeSort")] + part_paths,
+                       check=True, stdout=fh, env=env2)
+
+    # chainSplit golden dir
+    split_dir = os.path.join(GOLD, "chainSplit")
+    if os.path.isdir(split_dir):
+        import shutil
+        shutil.rmtree(split_dir)
+    run([os.path.join(KB, "chainSplit"), split_dir, sorted_chain])
+
+    # net tool goldens on the chainNet target net
+    tnet = os.path.join(GOLD, "chainNet.target.net")
+    run([os.path.join(KB, "netSyntenic"), tnet,
+         os.path.join(GOLD, "netSyntenic.net")])
+    with open(os.path.join(GOLD, "netFilter.syn.net"), "w") as fh:
+        subprocess.run([os.path.join(KB, "netFilter"), "-syn",
+                        os.path.join(GOLD, "netSyntenic.net")],
+                       check=True, stdout=fh, env=env2)
+    with open(os.path.join(GOLD, "netFilter.minScore.net"), "w") as fh:
+        subprocess.run([os.path.join(KB, "netFilter"), "-minScore=20000",
+                        tnet], check=True, stdout=fh, env=env2)
+    run([os.path.join(KB, "netToBed"), tnet,
+         os.path.join(GOLD, "netToBed.simple.bed")])
+    run([os.path.join(KB, "netToBed"), "-maxGap=1000", "-minFill=100", tnet,
+         os.path.join(GOLD, "netToBed.detailed.bed")])
+    split_net_dir = os.path.join(GOLD, "netSplit")
+    if os.path.isdir(split_net_dir):
+        import shutil
+        shutil.rmtree(split_net_dir)
+    run([os.path.join(KB, "netSplit"), tnet, split_net_dir])
+    run([os.path.join(KB, "netToAxt"), tnet, sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "netToAxt.axt")])
+    print("kent tool-suite goldens written")
+
     nbed = sum(1 for _ in open(os.path.join(GOLD, "chainCleaner.removedSuspects.bed")))
     print(f"chainCleaner removed {nbed} suspects")
     if nbed == 0:

@@ -1,0 +1,137 @@
+"""Byte-parity of the stock kent tool-suite engines against C goldens."""
+
+import io
+import os
+
+import pytest
+
+from genomealignmenttools_tpu.engines import chain_tools, net_tools
+
+SORTED = "synthetic.scored.sorted.chain"
+
+
+def _golden(golden_dir, name):
+    return open(os.path.join(golden_dir, name)).read()
+
+
+def test_chain_pre_net(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_pre_net(
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out)
+    assert out.getvalue() == _golden(golden_dir, "chainPreNet.chain")
+
+
+def test_chain_swap(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_swap(os.path.join(fixtures_dir, SORTED), out)
+    assert out.getvalue() == _golden(golden_dir, "chainSwap.chain")
+
+
+def test_chain_to_axt(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_to_axt(
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"), out)
+    assert out.getvalue() == _golden(golden_dir, "chainToAxt.axt")
+
+
+def test_chain_anti_repeat(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_anti_repeat(
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"),
+        os.path.join(fixtures_dir, SORTED), out)
+    assert out.getvalue() == _golden(golden_dir, "chainAntiRepeat.chain")
+
+
+@pytest.mark.parametrize("golden_name,kwargs", [
+    ("chainFilter.minScore.chain", dict(min_score=100000)),
+    ("chainFilter.tStrand.chain", dict(t="chrA", strand="-")),
+    ("chainFilter.zeroGap.chain", dict(zero_gap=True, do_long=True)),
+])
+def test_chain_filter(fixtures_dir, golden_dir, golden_name, kwargs):
+    out = io.StringIO()
+    chain_tools.chain_filter([os.path.join(fixtures_dir, SORTED)], out,
+                             **kwargs)
+    assert out.getvalue() == _golden(golden_dir, golden_name)
+
+
+def test_chain_stitch_id(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_stitch_id(
+        os.path.join(fixtures_dir, "fragments.chain"), out)
+    assert out.getvalue() == _golden(golden_dir, "chainStitchId.chain")
+
+
+def test_chain_merge_sort(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_merge_sort(
+        [os.path.join(fixtures_dir, f"mergepart{i}.chain") for i in range(3)],
+        out)
+    assert out.getvalue() == _golden(golden_dir, "chainMergeSort.chain")
+
+
+def test_chain_split(fixtures_dir, golden_dir, tmp_path):
+    out_dir = str(tmp_path / "split")
+    chain_tools.chain_split(out_dir, [os.path.join(fixtures_dir, SORTED)])
+    golden_split = os.path.join(golden_dir, "chainSplit")
+    golden_names = [n for n in os.listdir(golden_split) if n != "meta.tmp"]
+    assert sorted(os.listdir(out_dir)) == sorted(golden_names)
+    for name in golden_names:
+        assert (open(os.path.join(out_dir, name)).read()
+                == open(os.path.join(golden_split, name)).read()), name
+
+
+def test_net_syntenic(golden_dir):
+    out = io.StringIO()
+    net_tools.net_syntenic(os.path.join(golden_dir, "chainNet.target.net"), out)
+    assert out.getvalue() == _golden(golden_dir, "netSyntenic.net")
+
+
+def test_net_filter_syn(golden_dir):
+    out = io.StringIO()
+    net_tools.net_filter([os.path.join(golden_dir, "netSyntenic.net")], out,
+                         syn=True)
+    assert out.getvalue() == _golden(golden_dir, "netFilter.syn.net")
+
+
+def test_net_filter_min_score(golden_dir):
+    out = io.StringIO()
+    net_tools.net_filter([os.path.join(golden_dir, "chainNet.target.net")],
+                         out, min_score=20000)
+    assert out.getvalue() == _golden(golden_dir, "netFilter.minScore.net")
+
+
+def test_net_to_bed(golden_dir):
+    out = io.StringIO()
+    net_tools.net_to_bed(os.path.join(golden_dir, "chainNet.target.net"), out)
+    assert out.getvalue() == _golden(golden_dir, "netToBed.simple.bed")
+    out = io.StringIO()
+    net_tools.net_to_bed(os.path.join(golden_dir, "chainNet.target.net"), out,
+                         max_gap=1000, min_fill=100)
+    assert out.getvalue() == _golden(golden_dir, "netToBed.detailed.bed")
+
+
+def test_net_split(golden_dir, tmp_path):
+    out_dir = str(tmp_path / "netsplit")
+    net_tools.net_split(os.path.join(golden_dir, "chainNet.target.net"),
+                        out_dir)
+    golden_split = os.path.join(golden_dir, "netSplit")
+    golden_names = [n for n in os.listdir(golden_split) if n != "meta.tmp"]
+    assert sorted(os.listdir(out_dir)) == sorted(golden_names)
+    for name in golden_names:
+        assert (open(os.path.join(out_dir, name)).read()
+                == open(os.path.join(golden_split, name)).read()), name
+
+
+def test_net_to_axt(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    net_tools.net_to_axt(
+        os.path.join(golden_dir, "chainNet.target.net"),
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"), out)
+    assert out.getvalue() == _golden(golden_dir, "netToAxt.axt")
