@@ -298,6 +298,129 @@ def cmd_net_to_axt(argv):
     return 0
 
 
+
+
+def cmd_axt_to_psl(argv):
+    from ..engines.converters import axt_to_psl
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: axtToPsl in.axt tSizes qSizes out.psl", file=sys.stderr)
+        return 255
+    axt_to_psl(pos[0], pos[1], pos[2],
+               sys.stdout if pos[3] == "stdout" else pos[3])
+    return 0
+
+
+def cmd_axt_sort(argv):
+    from ..engines.converters import axt_sort
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: axtSort in.axt out.axt [-byScore]", file=sys.stderr)
+        return 255
+    axt_sort(pos[0], sys.stdout if pos[1] == "stdout" else pos[1],
+             by_score="byScore" in opts)
+    return 0
+
+
+def cmd_axt_swap(argv):
+    from ..engines.converters import axt_swap
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: axtSwap in.axt tSizes qSizes out.axt", file=sys.stderr)
+        return 255
+    axt_swap(pos[0], pos[1], pos[2],
+             sys.stdout if pos[3] == "stdout" else pos[3])
+    return 0
+
+
+def cmd_filter_axt(argv):
+    from ..engines.drivers import filter_axt_identity_entropy
+    if len(argv) != 5:
+        print("usage: filterAxtIdentityEntropy input.axt minSeqIdent "
+              "minEntropy windowSize output.axt", file=sys.stderr)
+        return 255
+    filter_axt_identity_entropy(argv[0], float(argv[1]), float(argv[2]),
+                                int(argv[3]),
+                                sys.stdout if argv[4] == "stdout" else argv[4])
+    return 0
+
+
+def cmd_extract_syn_inv(argv):
+    from ..engines.drivers import extract_syn_inv_chains, INT_MAX
+    pos = [a for a in argv if not a.startswith("-")]
+    opts = {}
+    i = 0
+    while i < len(argv):
+        if argv[i] in ("-keepSynNetsWithScore", "-keepInvNetsWithScore"):
+            opts[argv[i].lstrip("-")] = int(argv[i + 1])
+            i += 2
+        else:
+            i += 1
+    pos = [a for a in argv if not a.startswith("-")
+           and not a.lstrip("-").isdigit()]
+    if len(pos) != 3:
+        print("usage: ExtractSynInvChainsFromNet input.net input.chain "
+              "output.chain [-keepSynNetsWithScore N] "
+              "[-keepInvNetsWithScore N]", file=sys.stderr)
+        return 255
+    extract_syn_inv_chains(
+        pos[0], pos[1], sys.stdout if pos[2] == "stdout" else pos[2],
+        opts.get("keepSynNetsWithScore", INT_MAX),
+        opts.get("keepInvNetsWithScore", INT_MAX))
+    return 0
+
+
+def cmd_patch_chain(argv):
+    from ..engines.drivers import patch_chain
+    pos, o = _parse_kent_args(argv)
+    if len(pos) < 6:
+        print("usage: patchChain in.chain t.2bit q.2bit t.sizes q.sizes "
+              "out.psl [options: -chainMinScore=N -gapMinSizeT=N ... "
+              "-scoreScheme=HoxD55.q -minIdentity=N -minEntropy=F "
+              "-windowSize=N -numShards=N -shard=N]", file=sys.stderr)
+        return 255
+    patch_chain(
+        pos[0], pos[1], pos[2], pos[3], pos[4],
+        sys.stdout if pos[5] == "stdout" else pos[5],
+        chain_min_score=int(o.get("chainMinScore", 0)),
+        chain_min_size_t=int(o.get("chainMinSizeT", 0)),
+        chain_min_size_q=int(o.get("chainMinSizeQ", 0)),
+        gap_min_t=int(o.get("gapMinSizeT", 10)),
+        gap_min_q=int(o.get("gapMinSizeQ", 10)),
+        gap_max_t=int(o.get("gapMaxSizeT", 100000)),
+        gap_max_q=int(o.get("gapMaxSizeQ", 100000)),
+        score_scheme=o.get("scoreScheme"),
+        seed_len=int(o.get("seedLen", 8)),
+        hsp_threshold=int(o.get("hspThreshold", 1500)),
+        min_identity=float(o.get("minIdentity", 0)),
+        min_entropy=float(o.get("minEntropy", 0)),
+        window_size=int(o.get("windowSize", 0)),
+        num_shards=int(o.get("numShards", 1)),
+        shard_index=int(o.get("shard", 0)))
+    return 0
+
+
+def cmd_filter_chains_pipeline(argv):
+    from ..engines.drivers import filter_chains_net_filter_nets, INT_MAX
+    pos, o = _parse_kent_args(argv)
+    if len(pos) != 8:
+        print("usage: FilterChainsNetFilterNets in.chain in.net out.chain "
+              "out.net t.2bit q.2bit t.sizes q.sizes -minScore=a,b "
+              "-minSizeT=a,b -minSizeQ=a,b [-keepSynNetsWithScore=N] "
+              "[-keepInvNetsWithScore=N]", file=sys.stderr)
+        return 255
+    filter_chains_net_filter_nets(
+        pos[0], pos[1], pos[2],
+        sys.stdout if pos[3] == "stdout" else pos[3],
+        pos[4], pos[5], pos[6], pos[7],
+        [int(x) for x in o.get("minScore", "0").split(",")],
+        [int(x) for x in o.get("minSizeT", "0").split(",")],
+        [int(x) for x in o.get("minSizeQ", "0").split(",")],
+        keep_syn_nets_with_score=int(o.get("keepSynNetsWithScore", INT_MAX)),
+        keep_inv_nets_with_score=int(o.get("keepInvNetsWithScore", INT_MAX)))
+    return 0
+
+
 COMMANDS = {
     "scoreChain": cmd_score_chain,
     "axtChain": cmd_axt_chain,
@@ -315,6 +438,13 @@ COMMANDS = {
     "netToBed": cmd_net_to_bed,
     "netSplit": cmd_net_split,
     "netToAxt": cmd_net_to_axt,
+    "axtToPsl": cmd_axt_to_psl,
+    "axtSort": cmd_axt_sort,
+    "axtSwap": cmd_axt_swap,
+    "filterAxtIdentityEntropy": cmd_filter_axt,
+    "ExtractSynInvChainsFromNet": cmd_extract_syn_inv,
+    "patchChain": cmd_patch_chain,
+    "FilterChainsNetFilterNets": cmd_filter_chains_pipeline,
     "chainNet": cmd_chain_net,
     "chainCleaner": cmd_chain_cleaner,
     "NetFilterNonNested": cmd_net_filter_non_nested,

@@ -1,0 +1,314 @@
+"""The hillerlab pipeline drivers (Perl/Python orchestration re-designed).
+
+Behavioral references:
+  src/patchChain.perl - sensitive re-alignment of chain gaps; the reference
+      emits N shuffled csh cluster jobs running
+      `lastz t.2bit/chr[s..e] q.2bit/chr[s..e] Q=HoxD55.q K=1500 L=2500 W=5
+      --format=axt` + optional filterAxtIdentityEntropy + axtToPsl.  Here
+      the alignment runs in-process per gap (ops/seed_extend with a
+      sensitive seed length), with deterministic shard selection replacing
+      the cluster job fan-out; output is the same psl patches.
+  src/filterAxtIdentityEntropy.py - exact port (prefix-sum windows, greedy
+      extension, whole-entry keep).
+  src/ExtractSynInvChainsFromNet.perl - collect chain ids of syn/inv fills
+      above thresholds; extract with chainFilter -idFile semantics.
+  src/FilterChains_Net_FilterNets.perl - whole filtering pipeline:
+      chainFilter sets -> (syn/inv rescue) -> chainSort -> chainPreNet ->
+      chainNet -minSpace=1 -rescore -> netSyntenic -> NetFilterNonNested.
+      (the reference's netClass step needs a UCSC MySQL database and is
+      skipped, as the reference itself does off-host.)
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import re
+import sys
+
+import numpy as np
+
+from ..device.genome import Genome
+from ..formats.axt import Axt, read_axts, write_axts
+from ..formats.chain import read_chains, sort_chains_by_score, write_chains
+from ..formats.chromsizes import read_chrom_sizes
+from ..formats.scorematrix import read_score_scheme, score_scheme_default
+from ..ops.seed_extend import GapAligner
+from .chain_tools import _CharGenome, chain_filter, chain_pre_net
+from .chain_net import chain_net
+from .converters import axt_to_psl_records
+from .net_filter_nonnested import net_filter_non_nested
+from .net_tools import net_syntenic
+from .repeat_filler import harvest_gap_jobs
+
+INT_MAX = 2 ** 31 - 1
+
+
+# ---------------------------------------------------------------------------
+# filterAxtIdentityEntropy
+# ---------------------------------------------------------------------------
+
+def _check_axt_entry(t_seq: str, q_seq: str, min_ident: float,
+                     min_entropy: float, window: int) -> bool:
+    """processHit/checkAxt: is there any window-extension passing both
+    thresholds?  Exact port of the greedy scan."""
+    n = len(t_seq)
+    t_low = t_seq.lower()
+    q_low = q_seq.lower()
+    counts = {c: np.zeros(n + 1, np.int64) for c in "actg"}
+    matches = np.zeros(n + 1, np.int64)
+    for i in range(n):
+        for c in "actg":
+            counts[c][i + 1] = counts[c][i] + (1 if t_low[i] == c else 0)
+        matches[i + 1] = matches[i] + (1 if q_low[i] == t_low[i] else 0)
+
+    def num(arr, i, j):
+        return int(arr[j] - arr[i])
+
+    def seq_ident(i, j):
+        return 100.0 * num(matches, i, j) / (j - i)
+
+    def entropy(i, j):
+        vals = [float(num(counts[c], i, j)) for c in "atcg"]
+        total = sum(vals)
+        if total == 0:
+            return 0.0
+        e = 0.0
+        for v in vals:
+            p = v / total
+            if p != 0:
+                e -= p * math.log(p)
+        return e / math.log(2)
+
+    start = 0
+    while start < n:
+        if t_seq[start] == "-":
+            start += 1
+            continue
+        stopped_at = -1
+        for j in range(n):
+            end = start + j + window
+            if end > n:
+                break
+            if seq_ident(start, end) >= min_ident and \
+                    entropy(start, end) >= min_entropy:
+                stopped_at = end
+            else:
+                break
+        if stopped_at == -1:
+            start += 1
+        else:
+            return True
+    return False
+
+
+def filter_axt_identity_entropy(in_axt, min_seq_ident: float,
+                                min_entropy: float, window_size: int,
+                                out) -> None:
+    """filterAxtIdentityEntropy.py: keep whole axt entries with at least
+    one qualifying window."""
+    axts = read_axts(in_axt) if isinstance(in_axt, str) else in_axt
+    kept = [a for a in axts
+            if _check_axt_entry(a.t_sym, a.q_sym, min_seq_ident,
+                                min_entropy, window_size)]
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        # the reference writes entries verbatim (header + seqs + blank)
+        for a in kept:
+            f.write(f"{_axt_header(a)}\n{a.t_sym}\n{a.q_sym}\n\n")
+    finally:
+        if close:
+            f.close()
+
+
+def _axt_header(a: Axt) -> str:
+    return (f"{0} {a.t_name} {a.t_start + 1} {a.t_end} {a.q_name} "
+            f"{a.q_start + 1} {a.q_end} {a.q_strand} {a.score}")
+
+
+# ---------------------------------------------------------------------------
+# ExtractSynInvChainsFromNet
+# ---------------------------------------------------------------------------
+
+def extract_syn_inv_chains(net_file: str, chain_file: str, out,
+                           keep_syn_nets_with_score: int = INT_MAX,
+                           keep_inv_nets_with_score: int = INT_MAX) -> None:
+    """ExtractSynInvChainsFromNet.perl: line-scan for syn/inv fills above
+    the score thresholds, then extract those chain ids."""
+    ids = set()
+    with open(net_file) as f:
+        for line in f:
+            if " gap " in line or line.startswith("net ") or not line.strip():
+                continue
+            if " fill " not in f" {line}":
+                continue
+            rest = line.lstrip(" ").rstrip("\n")
+            if not rest.startswith("fill"):
+                continue
+            w = rest.split(" ")
+            # the perl's /type (\w+) / requires a TRAILING space, so a
+            # fill line ending in "type syn" (netSyntenic without netClass)
+            # never matches - replicated as-is for parity
+            m = re.search(r"type (\w+) ", rest)
+            typ = m.group(1) if m else ""
+            score = int(w[10]) if len(w) > 10 else 0
+            keep = ((typ == "syn" and score >= keep_syn_nets_with_score)
+                    or (typ == "inv" and score >= keep_inv_nets_with_score))
+            if keep:
+                m = re.search(r"id (\d+) score", rest)
+                if m is None:
+                    raise ValueError(f"cannot parse 'id' from fill line: {rest}")
+                ids.add(m.group(1))
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        for chain in read_chains(chain_file):
+            if str(chain.id) in ids:
+                f.write(chain.to_text())
+    finally:
+        if close:
+            f.close()
+
+
+# ---------------------------------------------------------------------------
+# patchChain
+# ---------------------------------------------------------------------------
+
+def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
+                t_sizes_file: str, q_sizes_file: str, out_psl,
+                chain_min_score: int = 0, chain_min_size_t: int = 0,
+                chain_min_size_q: int = 0,
+                gap_min_t: int = 10, gap_min_q: int = 10,
+                gap_max_t: int = 100000, gap_max_q: int = 100000,
+                score_scheme: str | None = None,
+                seed_len: int = 8, hsp_threshold: int = 1500,
+                min_identity: float = 0, min_entropy: float = 0,
+                window_size: int = 0,
+                num_shards: int = 1, shard_index: int = 0) -> None:
+    """Sensitive re-alignment of chain gaps -> psl patches.
+
+    Replaces the reference's cluster-job fan-out: gaps are harvested with
+    the same walk and bounds, round-robin sharded deterministically
+    (num_shards/shard_index replace the csh jobList), aligned in-process
+    and written as psl (axtToPsl semantics).  The psl output feeds a fresh
+    axtChain run exactly like the reference's patch psl files.
+    """
+    if (min_entropy != 0 or min_identity != 0) and window_size == 0:
+        raise ValueError("minEntropy or minIdentity given but windowSize is 0")
+    with open(chain_file) as f:
+        chain_lines = [ln + "\n" for ln in f.read().split("\n")]
+    jobs = harvest_gap_jobs(
+        chain_lines, chain_min_score, chain_min_size_t, chain_min_size_q,
+        gap_min_t, gap_min_q, gap_max_t, gap_max_q)
+    jobs = [j for i, j in enumerate(jobs) if i % num_shards == shard_index]
+
+    scheme = (read_score_scheme(score_scheme) if score_scheme
+              else score_scheme_default())
+    t_genome = Genome(t_2bit)
+    q_genome = Genome(q_2bit)
+    t_chars = _CharGenome(t_2bit)
+    q_chars = _CharGenome(q_2bit)
+    aligner = GapAligner(scheme.lut, seed_len=seed_len,
+                         hsp_threshold=hsp_threshold)
+    code_to_char = np.frombuffer(b"TCAGN", dtype=np.uint8)
+
+    axts = []
+    for job in jobs:
+        t_codes = t_genome.codes(job.t_name, "+")
+        q_codes = q_genome.codes(job.q_name, job.q_strand)
+        q_size = q_genome.seq(job.q_name).size
+        t_lo, t_hi = job.t_block_end - 1, job.t_gap_end
+        q_plus_lo, q_plus_hi = job.q_block_end - 1, job.q_gap_end
+        if job.q_strand == "-":
+            q_lo, q_hi = q_size - q_plus_hi, q_size - q_plus_lo
+        else:
+            q_lo, q_hi = q_plus_lo, q_plus_hi
+        hsps = aligner.align(t_codes, q_codes, t_lo, t_hi, q_lo, q_hi)
+        tb = t_chars.chars(job.t_name, "+")
+        qb = q_chars.chars(job.q_name, job.q_strand)
+        for ts, te, qs, qe, sc in hsps:
+            axts.append(Axt(
+                q_name=job.q_name, q_start=qs, q_end=qe,
+                q_strand=job.q_strand, t_name=job.t_name,
+                t_start=ts, t_end=te, score=sc,
+                q_sym=qb[qs:qe].decode(), t_sym=tb[ts:te].decode()))
+
+    if min_entropy != 0 or min_identity != 0:
+        axts = [a for a in axts
+                if _check_axt_entry(a.t_sym, a.q_sym, min_identity,
+                                    min_entropy, window_size)]
+    psls = axt_to_psl_records(axts, read_chrom_sizes(t_sizes_file),
+                              read_chrom_sizes(q_sizes_file))
+    from ..formats.psl import write_psls
+    close = isinstance(out_psl, str)
+    f = open(out_psl, "w") if close else out_psl
+    try:
+        write_psls(psls, f)
+    finally:
+        if close:
+            f.close()
+
+
+# ---------------------------------------------------------------------------
+# FilterChains_Net_FilterNets
+# ---------------------------------------------------------------------------
+
+def filter_chains_net_filter_nets(
+        in_chain: str, in_net: str, out_filtered_chain: str,
+        out_filtered_net, t_2bit: str, q_2bit: str,
+        t_sizes_file: str, q_sizes_file: str,
+        min_scores: list[int], min_t_sizes: list[int],
+        min_q_sizes: list[int],
+        keep_syn_nets_with_score: int = INT_MAX,
+        keep_inv_nets_with_score: int = INT_MAX) -> None:
+    """FilterChains_Net_FilterNets.perl, in-process.
+
+    chainFilter per (score, tSize, qSize) set (each excluding chrM) ->
+    optional syn/inv chain rescue from the input net -> chainSort ->
+    chainPreNet -> chainNet -minSpace=1 -rescore -> netSyntenic ->
+    NetFilterNonNested (batch mode + syn/inv rescue).  netClass is not run
+    (needs a UCSC database; the reference ships it off-host too).
+    """
+    if not (len(min_scores) == len(min_t_sizes) == len(min_q_sizes)):
+        raise ValueError("minScores/minTsizes/minQsizes length mismatch")
+
+    filtered = io.StringIO()
+    for ms, mt, mq in zip(min_scores, min_t_sizes, min_q_sizes):
+        chain_filter([in_chain], filtered, not_q="chrM", not_t="chrM",
+                     min_score=ms, q_min_size=mq, t_min_size=mt)
+    if keep_syn_nets_with_score < INT_MAX or keep_inv_nets_with_score < INT_MAX:
+        extract_syn_inv_chains(in_net, in_chain, filtered,
+                               keep_syn_nets_with_score,
+                               keep_inv_nets_with_score)
+
+    # chainSort | chainPreNet
+    chains = sort_chains_by_score(read_chains(io.StringIO(filtered.getvalue())))
+    sorted_io = io.StringIO()
+    write_chains(chains, sorted_io)
+    sorted_io.seek(0)
+    chain_pre_net(sorted_io, t_sizes_file, q_sizes_file, out_filtered_chain)
+
+    # chainNet -minSpace=1 -rescore | netSyntenic
+    t_net, q_sink = io.StringIO(), io.StringIO()
+    chain_net(out_filtered_chain, t_sizes_file, q_sizes_file, t_net, q_sink,
+              min_space=1, rescore=True, t_2bit=t_2bit, q_2bit=q_2bit,
+              linear_gap="loose")
+    syntenic = io.StringIO()
+    net_syntenic(io.StringIO(t_net.getvalue()), syntenic)
+
+    # NetFilterNonNested batch mode
+    kw = dict(min_scores=min_scores, min_t_sizes=min_t_sizes,
+              min_q_sizes=min_q_sizes)
+    if keep_syn_nets_with_score < INT_MAX:
+        kw["keep_syn_nets_with_score"] = keep_syn_nets_with_score
+    if keep_inv_nets_with_score < INT_MAX:
+        kw["keep_inv_nets_with_score"] = keep_inv_nets_with_score
+    close = isinstance(out_filtered_net, str)
+    f = open(out_filtered_net, "w") if close else out_filtered_net
+    try:
+        net_filter_non_nested(syntenic.getvalue().splitlines(), f, **kw)
+    finally:
+        if close:
+            f.close()
