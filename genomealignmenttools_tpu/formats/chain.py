@@ -280,8 +280,25 @@ def _blocks_from_triples(c: Chain, sizes, dts, dqs) -> np.ndarray:
 
 
 def read_chains(path_or_file) -> list[Chain]:
-    """Read all chains from a chain file (optionally .gz)."""
+    """Read all chains from a chain file (optionally .gz).
+
+    Uses the native C++ codec (native/chaincodec.cpp) when available;
+    results are identical to the python path."""
     if isinstance(path_or_file, str):
+        from ..native import chain_io
+        try:
+            if path_or_file.endswith(".gz"):
+                import gzip as _gz
+                with _gz.open(path_or_file, "rb") as fh:
+                    data = fh.read()
+            else:
+                with open(path_or_file, "rb") as fh:
+                    data = fh.read()
+            native = chain_io.parse_chain_text(data)
+            if native is not None:
+                return native
+        except OSError:
+            pass
         f = _open_maybe_gz(path_or_file)
         close = True
     else:
@@ -373,6 +390,13 @@ def iter_chains(path_or_file):
 
 def write_chains(chains, path_or_file) -> None:
     if isinstance(path_or_file, str):
+        from ..native import chain_io
+        chains = list(chains)
+        blob = chain_io.serialize_chains(chains)
+        if blob is not None:
+            with open(path_or_file, "wb") as f:
+                f.write(blob)
+            return
         with open(path_or_file, "w") as f:
             for c in chains:
                 f.write(c.to_text())

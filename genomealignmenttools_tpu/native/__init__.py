@@ -1,0 +1,77 @@
+"""Native (C++) host runtime components, bound via ctypes.
+
+Built lazily with g++ on first use (no pybind11 in this environment); the
+shared library lands next to the sources.  Set GAT_NATIVE=0 to force the
+pure-python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libgatnative.so")
+_SRCS = [os.path.join(_DIR, "chaincodec.cpp")]
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO] + _SRCS
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Return the loaded native library, building if needed; None if
+    unavailable or disabled."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("GAT_NATIVE", "1") == "0":
+        return None
+    newest_src = max(os.path.getmtime(s) for s in _SRCS)
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    class ChainArrays(ctypes.Structure):
+        _fields_ = [
+            ("n_chains", ctypes.c_int64),
+            ("scores", ctypes.POINTER(ctypes.c_double)),
+            ("header_nums", ctypes.POINTER(ctypes.c_int64)),
+            ("q_strands", ctypes.POINTER(ctypes.c_uint8)),
+            ("name_offsets", ctypes.POINTER(ctypes.c_int64)),
+            ("name_blob", ctypes.c_char_p),
+            ("n_blocks", ctypes.c_int64),
+            ("block_offsets", ctypes.POINTER(ctypes.c_int64)),
+            ("blocks", ctypes.POINTER(ctypes.c_int64)),
+            ("error", ctypes.c_char * 256),
+        ]
+
+    lib.ChainArrays = ChainArrays
+    lib.gat_chain_parse.restype = ctypes.POINTER(ChainArrays)
+    lib.gat_chain_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.gat_chain_free.argtypes = [ctypes.POINTER(ChainArrays)]
+    lib.gat_chain_serialize.restype = ctypes.POINTER(ctypes.c_char)
+    lib.gat_chain_serialize.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.gat_free_buffer.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    _lib = lib
+    return _lib

@@ -1,0 +1,105 @@
+"""Native-accelerated chain file parse/serialize (ctypes wrapper).
+
+Falls back to the pure-python codec when the library is unavailable.
+Results are identical; tests enforce parity.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from . import get_lib
+from ..formats.chain import Chain
+
+
+def parse_chain_text(data: bytes) -> "list[Chain] | None":
+    """Parse a whole chain-file buffer natively; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr_p = lib.gat_chain_parse(data, len(data))
+    try:
+        arr = arr_p.contents
+        err = bytes(arr.error).split(b"\0")[0]
+        if err:
+            raise ValueError(err.decode())
+        n = arr.n_chains
+        if n == 0:
+            return []
+        scores = np.ctypeslib.as_array(arr.scores, shape=(n,)).copy()
+        header = np.ctypeslib.as_array(arr.header_nums, shape=(n, 7)).copy()
+        strands = np.ctypeslib.as_array(arr.q_strands, shape=(n,)).copy()
+        name_offsets = np.ctypeslib.as_array(arr.name_offsets,
+                                             shape=(2 * n + 1,)).copy()
+        blob = ctypes.string_at(arr.name_blob, int(name_offsets[-1]))
+        block_offsets = np.ctypeslib.as_array(arr.block_offsets,
+                                              shape=(n + 1,)).copy()
+        blocks = np.ctypeslib.as_array(arr.blocks,
+                                       shape=(arr.n_blocks, 4)).copy()
+    finally:
+        lib.gat_chain_free(arr_p)
+
+    chains = []
+    for i in range(n):
+        t_name = blob[name_offsets[2 * i]:name_offsets[2 * i + 1]].decode()
+        q_name = blob[name_offsets[2 * i + 1]:name_offsets[2 * i + 2]].decode()
+        h = header[i]
+        chains.append(Chain(
+            score=float(scores[i]), t_name=t_name, t_size=int(h[0]),
+            t_start=int(h[1]), t_end=int(h[2]), q_name=q_name,
+            q_size=int(h[3]), q_strand=chr(strands[i]),
+            q_start=int(h[4]), q_end=int(h[5]), id=int(h[6]),
+            blocks=blocks[block_offsets[i]:block_offsets[i + 1]]))
+    return chains
+
+
+def serialize_chains(chains: list[Chain]) -> "bytes | None":
+    """Serialize chains natively (chainWrite-exact); None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(chains)
+    scores = np.array([c.score for c in chains], np.float64)
+    header = np.zeros((n, 7), np.int64)
+    strands = np.zeros(n, np.uint8)
+    name_parts = []
+    name_offsets = np.zeros(2 * n + 1, np.int64)
+    off = 0
+    for i, c in enumerate(chains):
+        header[i] = [c.t_size, c.t_start, c.t_end, c.q_size, c.q_start,
+                     c.q_end, c.id]
+        strands[i] = ord(c.q_strand)
+        tn = c.t_name.encode()
+        qn = c.q_name.encode()
+        name_offsets[2 * i] = off
+        off += len(tn)
+        name_offsets[2 * i + 1] = off
+        off += len(qn)
+        name_parts.append(tn)
+        name_parts.append(qn)
+    name_offsets[2 * n] = off
+    blob = b"".join(name_parts)
+    block_offsets = np.zeros(n + 1, np.int64)
+    for i, c in enumerate(chains):
+        block_offsets[i + 1] = block_offsets[i] + c.n_blocks
+    blocks = (np.concatenate([np.ascontiguousarray(c.blocks, dtype=np.int64)
+                              for c in chains])
+              if n else np.zeros((0, 4), np.int64))
+
+    out_len = ctypes.c_int64()
+    p = lib.gat_chain_serialize(
+        n,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        header.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        strands.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        name_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blob,
+        block_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(out_len))
+    try:
+        return ctypes.string_at(p, out_len.value)
+    finally:
+        lib.gat_free_buffer(p)
