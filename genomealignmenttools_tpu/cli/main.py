@@ -224,6 +224,21 @@ def cmd_chain_to_axt(argv):
     return 0
 
 
+def cmd_chain_bridge(argv):
+    from ..engines.chain_bridge import chain_bridge
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: chainBridge in.chain target.2bit query.2bit out.chain "
+              "[-maxGap=N] [-scoreScheme=f] [-linearGap=f]", file=sys.stderr)
+        return 255
+    chain_bridge(pos[0], pos[1], pos[2],
+                 sys.stdout if pos[3] == "stdout" else pos[3],
+                 max_gap=int(opts.get("maxGap", 6000)),
+                 linear_gap=opts.get("linearGap"),
+                 score_scheme=opts.get("scoreScheme"))
+    return 0
+
+
 def cmd_net_syntenic(argv):
     from ..engines.net_tools import net_syntenic
     pos, _ = _parse_kent_args(argv)
@@ -433,6 +448,7 @@ COMMANDS = {
     "chainSwap": cmd_chain_swap,
     "chainAntiRepeat": cmd_chain_anti_repeat,
     "chainToAxt": cmd_chain_to_axt,
+    "chainBridge": cmd_chain_bridge,
     "netSyntenic": cmd_net_syntenic,
     "netFilter": cmd_net_filter,
     "netToBed": cmd_net_to_bed,
