@@ -436,6 +436,115 @@ def cmd_filter_chains_pipeline(argv):
     return 0
 
 
+
+
+def cmd_chain_to_psl_basic(argv):
+    from ..engines.chain_tools import chain_to_psl_basic
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: chainToPslBasic in.chain out.psl", file=sys.stderr)
+        return 255
+    chain_to_psl_basic(pos[0], sys.stdout if pos[1] == "stdout" else pos[1])
+    return 0
+
+
+def cmd_chain_to_psl(argv):
+    from ..engines.chain_tools import chain_to_psl
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 6:
+        print("usage: chainToPsl in.chain tSizes qSizes t.2bit q.2bit out.psl",
+              file=sys.stderr)
+        return 255
+    chain_to_psl(pos[0], pos[1], pos[2], pos[3], pos[4],
+                 sys.stdout if pos[5] == "stdout" else pos[5])
+    return 0
+
+
+def cmd_chain_overlap(argv):
+    from ..engines.chain_tools import chain_overlap
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 1:
+        print("usage: chainOverlap chainFile [-query] > out.chain",
+              file=sys.stderr)
+        return 255
+    chain_overlap(pos[0], sys.stdout, on_query="query" in opts)
+    return 0
+
+
+def cmd_axt_to_maf(argv):
+    from ..engines.maf_tools import axt_to_maf
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: axtToMaf in.axt tSizes qSizes out.maf [-qPrefix=XX.] "
+              "[-tPrefix=YY.] [-score] [-scoreZero]", file=sys.stderr)
+        return 255
+    axt_to_maf(pos[0], pos[1], pos[2],
+               sys.stdout if pos[3] == "stdout" else pos[3],
+               q_prefix=opts.get("qPrefix", ""),
+               t_prefix=opts.get("tPrefix", ""),
+               rescore="score" in opts, score_zero="scoreZero" in opts)
+    return 0
+
+
+def cmd_maf_to_axt(argv):
+    from ..engines.maf_tools import maf_to_axt
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: mafToAxt in.maf tName qName out.axt [-stripDb]",
+              file=sys.stderr)
+        return 255
+    maf_to_axt(pos[0], pos[1], pos[2],
+               sys.stdout if pos[3] == "stdout" else pos[3],
+               strip_db="stripDb" in opts)
+    return 0
+
+
+def cmd_maf_to_psl(argv):
+    from ..engines.maf_tools import maf_to_psl
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: mafToPsl querySrc targetSrc in.maf out.psl",
+              file=sys.stderr)
+        return 255
+    maf_to_psl(pos[0], pos[1], pos[2],
+               sys.stdout if pos[3] == "stdout" else pos[3])
+    return 0
+
+
+def cmd_maf_to_fa(argv):
+    from ..engines.maf_tools import maf_to_fa
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: mafToFa in.maf out.fa [-stripDotsDashes]", file=sys.stderr)
+        return 255
+    maf_to_fa(pos[0], sys.stdout if pos[1] == "stdout" else pos[1],
+              strip_dots_dashes="stripDotsDashes" in opts)
+    return 0
+
+
+def cmd_maf_ranges(argv):
+    from ..engines.maf_tools import maf_ranges
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 3:
+        print("usage: mafRanges in.maf db out.bed [-otherDb=oDb] [-notAllOGap]",
+              file=sys.stderr)
+        return 255
+    maf_ranges(pos[0], pos[1], sys.stdout if pos[2] == "stdout" else pos[2],
+               other_db=opts.get("otherDb"),
+               not_all_o_gap="notAllOGap" in opts)
+    return 0
+
+
+def cmd_maf_no_align(argv):
+    from ..engines.maf_tools import maf_no_align
+    pos, _ = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: mafNoAlign in.maf out.bed", file=sys.stderr)
+        return 255
+    maf_no_align(pos[0], sys.stdout if pos[1] == "stdout" else pos[1])
+    return 0
+
+
 COMMANDS = {
     "scoreChain": cmd_score_chain,
     "axtChain": cmd_axt_chain,
@@ -457,6 +566,15 @@ COMMANDS = {
     "axtToPsl": cmd_axt_to_psl,
     "axtSort": cmd_axt_sort,
     "axtSwap": cmd_axt_swap,
+    "chainToPsl": cmd_chain_to_psl,
+    "chainToPslBasic": cmd_chain_to_psl_basic,
+    "chainOverlap": cmd_chain_overlap,
+    "axtToMaf": cmd_axt_to_maf,
+    "mafToAxt": cmd_maf_to_axt,
+    "mafToPsl": cmd_maf_to_psl,
+    "mafToFa": cmd_maf_to_fa,
+    "mafRanges": cmd_maf_ranges,
+    "mafNoAlign": cmd_maf_no_align,
     "filterAxtIdentityEntropy": cmd_filter_axt,
     "ExtractSynInvChainsFromNet": cmd_extract_syn_inv,
     "patchChain": cmd_patch_chain,

@@ -515,3 +515,128 @@ def chain_to_axt(in_file: str, t_2bit: str, q_2bit: str, out,
     finally:
         if close:
             f.close()
+
+
+# ---------------------------------------------------------------------------
+# chainToPsl / chainToPslBasic / chainOverlap
+# ---------------------------------------------------------------------------
+
+def chain_to_psl_basic(in_file: str, out) -> None:
+    """chainToPslBasic: psl geometry only (match = block sizes sum)."""
+    from ..formats.psl import Psl, write_psls
+    psls = []
+    for c in iter_chains(in_file):
+        q_start, q_end = c.q_start, c.q_end
+        if c.q_strand == "-":
+            q_start, q_end = c.q_size - q_end, c.q_size - q_start
+        b = c.blocks
+        sizes = b[:, 1] - b[:, 0]
+        dt = b[1:, 0] - b[:-1, 1]
+        dq = b[1:, 2] - b[:-1, 3]
+        psls.append(Psl(
+            matches=int(sizes.sum()), mis_matches=0, rep_matches=0, n_count=0,
+            q_num_insert=int((dq > 0).sum()), q_base_insert=int(dq[dq > 0].sum()),
+            t_num_insert=int((dt > 0).sum()), t_base_insert=int(dt[dt > 0].sum()),
+            strand=c.q_strand, q_name=c.q_name, q_size=c.q_size,
+            q_start=q_start, q_end=q_end, t_name=c.t_name, t_size=c.t_size,
+            t_start=c.t_start, t_end=c.t_end, block_count=b.shape[0],
+            block_sizes=sizes.copy(), q_starts=b[:, 2].copy(),
+            t_starts=b[:, 0].copy()))
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        write_psls(psls, f)
+    finally:
+        if close:
+            f.close()
+
+
+def chain_to_psl(in_file: str, t_sizes_file: str, q_sizes_file: str,
+                 t_seq_path: str, q_seq_path: str, out) -> None:
+    """chainToPsl with match/misMatch/repMatch counting (aliStringToPsl).
+
+    repMatch is decided by TARGET softmask case; N (either side) counts as
+    nCount.  Sequence inputs are 2bit files (the C accepts fasta/nib lists
+    too; 2bit covers the toolkit's pipelines)."""
+    t_genome = Genome(t_seq_path, with_mask=True)
+    q_genome = Genome(q_seq_path, with_mask=True)
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        for c in iter_chains(in_file):
+            if c.q_start == c.q_end or c.t_start == c.t_end:
+                continue
+            t_seq = t_genome.seq(c.t_name)
+            q_seq = q_genome.seq(c.q_name)
+            t_codes = t_seq.codes
+            t_mask = t_seq.mask
+            if c.q_strand == "-":
+                q_codes = q_seq.rc_codes()
+            else:
+                q_codes = q_seq.codes
+            match = mis = rep = n_count = 0
+            b = c.blocks
+            for ts, te, qs, qe in b:
+                qc = q_codes[qs:qe]
+                tc = t_codes[ts:te]
+                tm = t_mask[ts:te]
+                is_n = (qc >= 4) | (tc >= 4)
+                eq = (qc == tc) & ~is_n
+                n_count += int(is_n.sum())
+                rep += int((eq & tm).sum())
+                match += int((eq & ~tm).sum())
+                mis += int((~eq & ~is_n).sum())
+            dt = b[1:, 0] - b[:-1, 1]
+            dq = b[1:, 2] - b[:-1, 3]
+            sizes = b[:, 1] - b[:, 0]
+            q_start, q_end = c.q_start, c.q_end
+            if c.q_strand == "-":
+                q_start, q_end = c.q_size - q_end, c.q_size - q_start
+            cols = [match, mis, rep, n_count,
+                    int((dq != 0).sum()), int(dq[dq != 0].sum()),
+                    int((dt != 0).sum()), int(dt[dt != 0].sum()),
+                    c.q_strand, c.q_name, c.q_size, q_start, q_end,
+                    c.t_name, c.t_size, c.t_start, c.t_end, b.shape[0]]
+            f.write("\t".join(str(x) for x in cols) + "\t")
+            f.write("".join(f"{s}," for s in sizes) + "\t")
+            f.write("".join(f"{s}," for s in b[:, 2]) + "\t")
+            f.write("".join(f"{s}," for s in b[:, 0]) + "\n")
+    finally:
+        if close:
+            f.close()
+
+
+def chain_overlap(in_file: str, out, on_query: bool = False) -> None:
+    """chainOverlap: rescore chains by per-base coverage counts (x100)."""
+    groups: dict[str, list[Chain]] = {}
+    sizes: dict[str, int] = {}
+    for c in read_chains(in_file):
+        groups.setdefault(c.t_name, []).append(c)
+        sizes.setdefault(c.t_name, c.q_size if on_query else c.t_size)
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        # seqPair list is built with slAddHead -> reverse first-seen order;
+        # per-group chains likewise reversed before the stable target sort
+        for name in reversed(list(groups)):
+            chains = groups[name]
+            chains.reverse()
+            chains.sort(key=lambda c: (c.t_name, c.t_start))
+            cov = np.zeros(sizes[name], np.uint16)
+            for c in chains:
+                for ts, te, qs, qe in c.blocks:
+                    s, e = (qs, qe) if on_query else (ts, te)
+                    seg = cov[s:e]
+                    seg[seg < 65535] += 1
+            for c in chains:
+                score = 0
+                num_bases = 0
+                for ts, te, qs, qe in c.blocks:
+                    s, e = (qs, qe) if on_query else (ts, te)
+                    score += int(cov[s:e].astype(np.int64).sum())
+                    num_bases += e - s
+                c.score = 100 * (score / float(num_bases))
+                f.write(c.to_text())
+    finally:
+        if close:
+            f.close()

@@ -481,6 +481,42 @@ def main():
          os.path.join(GOLD, "netToAxt.axt")])
     print("kent tool-suite goldens written")
 
+
+    # --- converter tool goldens -----------------------------------------
+    run([os.path.join(KB, "chainToPslBasic"), sorted_chain,
+         os.path.join(GOLD, "chainToPslBasic.psl")])
+    run([os.path.join(KB, "chainToPsl"), sorted_chain, tsz, qsz,
+         t2bit, q2bit, os.path.join(GOLD, "chainToPsl.psl")])
+    with open(os.path.join(GOLD, "chainOverlap.chain"), "w") as fh:
+        subprocess.run([os.path.join(KB, "chainOverlap"), sorted_chain],
+                       check=True, stdout=fh, env=env2)
+    axt_golden = os.path.join(GOLD, "chainToAxt.axt")
+    run([os.path.join(KB, "axtToPsl"), axt_golden, tsz, qsz,
+         os.path.join(GOLD, "axtToPsl.psl")])
+    run([os.path.join(KB, "axtSort"), axt_golden,
+         os.path.join(GOLD, "axtSort.axt")])
+    run([os.path.join(KB, "axtSwap"), axt_golden, tsz, qsz,
+         os.path.join(GOLD, "axtSwap.axt")])
+    run([os.path.join(KB, "axtToMaf"), axt_golden, tsz, qsz,
+         os.path.join(GOLD, "axtToMaf.maf")])
+    run([os.path.join(KB, "axtToMaf"), "-tPrefix=hg.", "-qPrefix=mm.",
+         axt_golden, tsz, qsz, os.path.join(GOLD, "axtToMaf.prefixed.maf")])
+    maf_plain = os.path.join(GOLD, "axtToMaf.maf")
+    maf_pref = os.path.join(GOLD, "axtToMaf.prefixed.maf")
+    run([os.path.join(KB, "mafToAxt"), maf_plain, "first", "chrQ",
+         os.path.join(GOLD, "mafToAxt.axt")])
+    run([os.path.join(KB, "mafToPsl"), "mm", "hg", maf_pref,
+         os.path.join(GOLD, "mafToPsl.psl")])
+    run([os.path.join(KB, "mafToFa"), maf_plain,
+         os.path.join(GOLD, "mafToFa.fa")])
+    run([os.path.join(KB, "mafRanges"), maf_pref, "hg",
+         os.path.join(GOLD, "mafRanges.bed")])
+    run([os.path.join(KB, "mafRanges"), "-otherDb=mm", "-notAllOGap",
+         maf_pref, "hg", os.path.join(GOLD, "mafRanges.mindgaps.bed")])
+    run([os.path.join(KB, "mafNoAlign"), maf_pref,
+         os.path.join(GOLD, "mafNoAlign.bed")])
+    print("converter goldens written")
+
     nbed = sum(1 for _ in open(os.path.join(GOLD, "chainCleaner.removedSuspects.bed")))
     print(f"chainCleaner removed {nbed} suspects")
     if nbed == 0:

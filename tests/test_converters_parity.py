@@ -1,0 +1,114 @@
+"""Byte-parity of format converters against C goldens."""
+
+import io
+import os
+
+from genomealignmenttools_tpu.engines import chain_tools, converters, maf_tools
+
+SORTED = "synthetic.scored.sorted.chain"
+
+
+def _golden(golden_dir, name):
+    return open(os.path.join(golden_dir, name)).read()
+
+
+def test_chain_to_psl_basic(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_to_psl_basic(os.path.join(fixtures_dir, SORTED), out)
+    assert out.getvalue() == _golden(golden_dir, "chainToPslBasic.psl")
+
+
+def test_chain_to_psl(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_to_psl(
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"), out)
+    assert out.getvalue() == _golden(golden_dir, "chainToPsl.psl")
+
+
+def test_chain_overlap(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_overlap(os.path.join(fixtures_dir, SORTED), out)
+    assert out.getvalue() == _golden(golden_dir, "chainOverlap.chain")
+
+
+def test_axt_to_psl(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    converters.axt_to_psl(
+        os.path.join(golden_dir, "chainToAxt.axt"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out)
+    assert out.getvalue() == _golden(golden_dir, "axtToPsl.psl")
+
+
+def test_axt_sort(golden_dir):
+    out = io.StringIO()
+    converters.axt_sort(os.path.join(golden_dir, "chainToAxt.axt"), out)
+    assert out.getvalue() == _golden(golden_dir, "axtSort.axt")
+
+
+def test_axt_swap(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    converters.axt_swap(
+        os.path.join(golden_dir, "chainToAxt.axt"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out)
+    assert out.getvalue() == _golden(golden_dir, "axtSwap.axt")
+
+
+def test_axt_to_maf(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    maf_tools.axt_to_maf(
+        os.path.join(golden_dir, "chainToAxt.axt"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out)
+    assert out.getvalue() == _golden(golden_dir, "axtToMaf.maf")
+    out = io.StringIO()
+    maf_tools.axt_to_maf(
+        os.path.join(golden_dir, "chainToAxt.axt"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out,
+        t_prefix="hg.", q_prefix="mm.")
+    assert out.getvalue() == _golden(golden_dir, "axtToMaf.prefixed.maf")
+
+
+def test_maf_to_axt(golden_dir):
+    out = io.StringIO()
+    maf_tools.maf_to_axt(os.path.join(golden_dir, "axtToMaf.maf"),
+                         "first", "chrQ", out)
+    assert out.getvalue() == _golden(golden_dir, "mafToAxt.axt")
+
+
+def test_maf_to_psl(golden_dir):
+    out = io.StringIO()
+    maf_tools.maf_to_psl("mm", "hg",
+                         os.path.join(golden_dir, "axtToMaf.prefixed.maf"),
+                         out)
+    assert out.getvalue() == _golden(golden_dir, "mafToPsl.psl")
+
+
+def test_maf_to_fa(golden_dir):
+    out = io.StringIO()
+    maf_tools.maf_to_fa(os.path.join(golden_dir, "axtToMaf.maf"), out)
+    assert out.getvalue() == _golden(golden_dir, "mafToFa.fa")
+
+
+def test_maf_ranges(golden_dir):
+    out = io.StringIO()
+    maf_tools.maf_ranges(os.path.join(golden_dir, "axtToMaf.prefixed.maf"),
+                         "hg", out)
+    assert out.getvalue() == _golden(golden_dir, "mafRanges.bed")
+    out = io.StringIO()
+    maf_tools.maf_ranges(os.path.join(golden_dir, "axtToMaf.prefixed.maf"),
+                         "hg", out, other_db="mm", not_all_o_gap=True)
+    assert out.getvalue() == _golden(golden_dir, "mafRanges.mindgaps.bed")
+
+
+def test_maf_no_align(golden_dir):
+    out = io.StringIO()
+    maf_tools.maf_no_align(os.path.join(golden_dir, "axtToMaf.prefixed.maf"),
+                           out)
+    assert out.getvalue() == _golden(golden_dir, "mafNoAlign.bed")
