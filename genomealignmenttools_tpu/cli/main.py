@@ -315,6 +315,47 @@ def cmd_net_to_axt(argv):
 
 
 
+def cmd_psl_mrna_cover(argv):
+    from ..engines.converters import psl_mrna_cover
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: pslMrnaCover mrna.psl mrna.fa [-minSize=N] "
+              "[-listZero=zero.tab]", file=sys.stderr)
+        return 255
+    psl_mrna_cover(pos[0], pos[1], sys.stdout,
+                   min_size=int(opts.get("minSize", 100)),
+                   list_zero=opts.get("listZero"))
+    return 0
+
+
+def cmd_lav_to_psl(argv):
+    from ..engines.lav_tools import lav_to_psl
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 2:
+        print("usage: lavToPsl in.lav out.psl [-target-strand=c] [-bed] "
+              "[-scoreFile=f]", file=sys.stderr)
+        return 255
+    lav_to_psl(pos[0], sys.stdout if pos[1] == "stdout" else pos[1],
+               target_strand=opts.get("target-strand", ""),
+               bed="bed" in opts, score_file=opts.get("scoreFile"))
+    return 0
+
+
+def cmd_lav_to_axt(argv):
+    from ..engines.lav_tools import lav_to_axt
+    pos, opts = _parse_kent_args(argv)
+    if len(pos) != 4:
+        print("usage: lavToAxt in.lav tNibDir qNibDir out.axt [-fa] [-tfa] "
+              "[-dropSelf] [-scoreScheme=f]", file=sys.stderr)
+        return 255
+    lav_to_axt(pos[0], pos[1], pos[2],
+               sys.stdout if pos[3] == "stdout" else pos[3],
+               q_is_fa="fa" in opts, t_is_fa="tfa" in opts,
+               drop_self="dropSelf" in opts,
+               score_scheme=opts.get("scoreScheme"))
+    return 0
+
+
 def cmd_axt_to_psl(argv):
     from ..engines.converters import axt_to_psl
     pos, _ = _parse_kent_args(argv)
@@ -564,6 +605,9 @@ COMMANDS = {
     "netSplit": cmd_net_split,
     "netToAxt": cmd_net_to_axt,
     "axtToPsl": cmd_axt_to_psl,
+    "lavToPsl": cmd_lav_to_psl,
+    "lavToAxt": cmd_lav_to_axt,
+    "pslMrnaCover": cmd_psl_mrna_cover,
     "axtSort": cmd_axt_sort,
     "axtSwap": cmd_axt_swap,
     "chainToPsl": cmd_chain_to_psl,

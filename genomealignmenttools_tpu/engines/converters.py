@@ -191,3 +191,75 @@ def axt_swap(in_axt: str, t_sizes_file: str, q_sizes_file: str, out) -> None:
     finally:
         if close:
             f.close()
+
+
+def _rounding_scale(a: int, p: int, q: int) -> int:
+    """roundingScale (common.c:2943-2955): rounded a*p/q with the C's
+    int/double split at 100000."""
+    import math
+    if a > 100000 or p > 100000:
+        x = a * p / q
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5))
+    return (a * p + q // 2) // q
+
+
+def psl_mrna_cover(psl_file: str, fa_file: str, out,
+                   min_size: int = 100,
+                   list_zero: str | None = None) -> None:
+    """pslMrnaCover (kent/src/hg/mouseStuff/pslMrnaCover/pslMrnaCover.c):
+    histogram of per-mRNA best coverage percentage, with an optional
+    zero-coverage accession list."""
+    from ..formats.psl import read_psls
+
+    order: list[str] = []
+    sizes: dict[str, int] = {}
+    name = None
+    n = 0
+    with open(fa_file) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None and n >= min_size and name not in sizes:
+                    sizes[name] = n
+                    order.append(name)
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                n = 0
+            else:
+                n += len(line)
+    if name is not None and n >= min_size and name not in sizes:
+        sizes[name] = n
+        order.append(name)
+
+    max_ali = {nm: 0 for nm in order}
+    for psl in read_psls(psl_file):
+        if psl.q_size >= min_size:
+            if psl.q_name not in sizes:
+                raise ValueError(
+                    f"{psl.q_name} is in {psl_file} but not {fa_file}")
+            if sizes[psl.q_name] != psl.q_size:
+                raise ValueError(
+                    f"{psl.q_name} is {sizes[psl.q_name]} bytes in {fa_file} "
+                    f"but {psl.q_size} in {psl_file}")
+            q_ali = psl.matches + psl.rep_matches + psl.mis_matches
+            if q_ali > max_ali[psl.q_name]:
+                max_ali[psl.q_name] = q_ali
+
+    if list_zero is not None:
+        with open(list_zero, "w") as zf:
+            for nm in order:
+                if max_ali[nm] == 0:
+                    zf.write(f"{nm}\t{sizes[nm]}\n")
+
+    histogram = [0] * 101
+    for nm in order:
+        histogram[_rounding_scale(100, max_ali[nm], sizes[nm])] += 1
+
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        for i in range(101):
+            f.write(f"{i:3d}% {histogram[i]:6d}\n")
+    finally:
+        if close:
+            f.close()

@@ -517,11 +517,210 @@ def main():
          os.path.join(GOLD, "mafNoAlign.bed")])
     print("converter goldens written")
 
+    make_lav_fixtures(env2, KB, t2bit, q2bit)
+
     nbed = sum(1 for _ in open(os.path.join(GOLD, "chainCleaner.removedSuspects.bed")))
     print(f"chainCleaner removed {nbed} suspects")
     if nbed == 0:
         print("WARNING: no suspects removed - fixture lacks breaking scenarios")
     print("fixtures + goldens written")
+
+
+_LAV_D_STANZA = """\
+d {
+  "lastz.v1.04.00 target query --gapped --format=lav
+     A    C    G    T
+    91 -114  -31 -123
+  -114  100 -125  -31
+   -31 -125  100 -114
+  -123  -31 -114   91
+   O = 400, E = 30, K = 3000, L = 3000, M = 50"
+}
+"""
+
+
+def _lav_blocks_from_axt(axt) -> list[tuple[int, int, int, int, int]]:
+    """Ungapped segments of an axt as 0-based (tS,tE,qS,qE,pctId)."""
+    out = []
+    q_pos, t_pos = axt.q_start, axt.t_start
+    seg = None  # [tS, qS, len, matches]
+    for qc, tc in zip(axt.q_sym + "-", axt.t_sym + "-"):
+        if qc != "-" and tc != "-":
+            if seg is None:
+                seg = [t_pos, q_pos, 0, 0]
+            seg[2] += 1
+            if qc.upper() == tc.upper():
+                seg[3] += 1
+        else:
+            if seg is not None and seg[2] > 0:
+                pid = int(100.0 * seg[3] / seg[2] + 0.5)
+                out.append((seg[0], seg[0] + seg[2], seg[1],
+                            seg[1] + seg[2], max(pid, 1)))
+            seg = None
+        q_pos += 1 if qc != "-" else 0
+        t_pos += 1 if tc != "-" else 0
+    return out
+
+
+def _write_nib(path: str, chars: bytes) -> None:
+    """Write a kent .nib file (sig 0x6BE93D3A, 4-bit codes T=0 C=1 A=2 G=3
+    N=4, bit 8 = soft-masked/lowercase, high nibble first)."""
+    import struct
+    code = {"T": 0, "C": 1, "A": 2, "G": 3, "N": 4}
+    vals = np.array([code.get(chr(c).upper(), 4) | (8 if chr(c).islower()
+                                                    else 0)
+                     for c in chars], np.uint8)
+    if vals.shape[0] % 2:
+        vals = np.append(vals, np.uint8(0))
+    packed = ((vals[0::2] << 4) | vals[1::2]).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", 0x6BE93D3A, len(chars)))
+        f.write(packed.tobytes())
+
+
+def make_lav_fixtures(env2, KB, t2bit, q2bit):
+    """Build synthetic.lav (from the chainToAxt golden), self.lav (diagonal
+    crossings for -dropSelf), nib/fasta sequence variants, and the
+    lavToPsl/lavToAxt goldens."""
+    from genomealignmenttools_tpu.formats.axt import read_axts
+    from genomealignmenttools_tpu.formats.twobit import TwoBitFile
+
+    t_tbf, q_tbf = TwoBitFile(t2bit), TwoBitFile(q2bit)
+
+    def a_stanza(score, blocks, out):
+        out.append("a {")
+        out.append(f"  s {score}")
+        out.append(f"  b {blocks[0][0] + 1} {blocks[0][2] + 1}")
+        out.append(f"  e {blocks[-1][1]} {blocks[-1][3]}")
+        for ts, te, qs, qe, pid in blocks:
+            out.append(f"  l {ts + 1} {qs + 1} {te} {qe} {pid}")
+        out.append("}")
+
+    # --- synthetic.lav from the chainToAxt golden axts -------------------
+    axts = read_axts(os.path.join(GOLD, "chainToAxt.axt"))
+    lines = ["#:lav", _LAV_D_STANZA.rstrip("\n")]
+    cur_key = None
+    for axt in axts:
+        key = (axt.t_name, axt.q_name, axt.q_strand)
+        if key != cur_key:
+            cur_key = key
+            t_size = t_tbf.seq_size(axt.t_name)
+            q_size = q_tbf.seq_size(axt.q_name)
+            lines.append("s {")
+            lines.append(f'  "target" 1 {t_size} 0 1')
+            lines.append(f'  "query" 1 {q_size} 0 1')
+            lines.append("}")
+            lines.append("h {")
+            lines.append(f'  ">{axt.t_name}"')
+            rc = " (reverse complement)" if axt.q_strand == "-" else ""
+            lines.append(f'  ">{axt.q_name}{rc}"')
+            lines.append("}")
+        blocks = _lav_blocks_from_axt(axt)
+        if blocks:
+            a_stanza(max(axt.score, 1), blocks, lines)
+    lav_path = os.path.join(FIX, "synthetic.lav")
+    with open(lav_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # --- self.lav: chrA vs chrA with diagonal-crossing blocks ------------
+    t_size = t_tbf.seq_size("chrA")
+    lines = ["#:lav",
+             "s {", f'  "target" 1 {t_size} 0 1', f'  "target" 1 {t_size} 0 1',
+             "}",
+             "h {", '  ">chrA"', '  ">chrA"', "}"]
+    # forward: far-from-diagonal stanza, then one crossing the diagonal
+    a_stanza(5000, [(1000, 1500, 501000, 501500, 93),
+                    (1520, 1900, 501500, 501880, 90)], lines)
+    a_stanza(4000, [(2000, 2300, 8000, 8300, 92),
+                    (2320, 2500, 8300, 8480, 91),
+                    (5000, 5200, 5100, 5300, 99),     # on diagonal
+                    (6000, 6200, 9000, 9200, 88),
+                    (6210, 6410, 9200, 9400, 87)], lines)
+    # reverse-complement section with a diagonal crossing in forward space
+    lines += ["h {", '  ">chrA"', '  ">chrA (reverse complement)"', "}"]
+    a_stanza(3000, [(100000, 100150, 250000, 250150, 90),
+                    (100160, 100310, 250150, 250300, 91),
+                    (300000, 300200, t_size - 300200, t_size - 300000, 99),
+                    (400000, 400150, 500000, 500150, 89),
+                    (400150, 400300, 500160, 500310, 88)], lines)
+    self_lav = os.path.join(FIX, "self.lav")
+    with open(self_lav, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # --- nib + fasta sequence variants ----------------------------------
+    for sub, tbf in (("target", t_tbf), ("query", q_tbf)):
+        nib_dir = os.path.join(FIX, "nib", sub)
+        os.makedirs(nib_dir, exist_ok=True)
+        for name in tbf.seq_names():
+            _write_nib(os.path.join(nib_dir, f"{name}.nib"),
+                       tbf.read_seq(name).chars(do_mask=True))
+    qfa = os.path.join(FIX, "query.fa")
+    with open(qfa, "w") as f:
+        for name in q_tbf.seq_names():
+            chars = q_tbf.read_seq(name).chars(do_mask=True).decode()
+            f.write(f">{name}\n")
+            for i in range(0, len(chars), 50):
+                f.write(chars[i:i + 50] + "\n")
+
+    # --- goldens ---------------------------------------------------------
+    run([os.path.join(KB, "lavToPsl"), lav_path,
+         os.path.join(GOLD, "lavToPsl.psl")])
+    run([os.path.join(KB, "lavToPsl"), "-bed", lav_path,
+         os.path.join(GOLD, "lavToPsl.bed")])
+    run([os.path.join(KB, "lavToPsl"), "-target-strand=+",
+         f"-scoreFile={os.path.join(GOLD, 'lavToPsl.scores.txt')}",
+         lav_path, os.path.join(GOLD, "lavToPsl.tstrand.psl")])
+    run([os.path.join(KB, "lavToAxt"), lav_path, t2bit, q2bit,
+         os.path.join(GOLD, "lavToAxt.axt")])
+    run([os.path.join(KB, "lavToAxt"), lav_path,
+         os.path.join(FIX, "nib", "target"), os.path.join(FIX, "nib", "query"),
+         os.path.join(GOLD, "lavToAxt.nib.axt")])
+    run([os.path.join(KB, "lavToAxt"), "-fa", lav_path, t2bit, qfa,
+         os.path.join(GOLD, "lavToAxt.fa.axt")])
+    run([os.path.join(KB, "lavToAxt"), "-dropSelf", self_lav, t2bit, t2bit,
+         os.path.join(GOLD, "lavToAxt.dropSelf.axt")])
+    run([os.path.join(KB, "lavToAxt"), "-dropSelf",
+         f"-scoreScheme={os.path.join(FIX, 'HoxD55.q')}",
+         self_lav, t2bit, t2bit,
+         os.path.join(GOLD, "lavToAxt.dropSelf.hoxd55.axt")])
+    print("lav goldens written")
+
+    # --- pslMrnaCover fixture + goldens ----------------------------------
+    rng = np.random.default_rng(4242)
+    fa_lines = []
+    psl_lines = []
+    for i in range(24):
+        name = f"mrna{i:02d}"
+        size = int(rng.integers(60, 1400))
+        seq = "".join("ACGT"[b] for b in rng.integers(0, 4, size))
+        fa_lines.append(f">{name}")
+        fa_lines += [seq[j:j + 50] for j in range(0, size, 50)]
+        n_ali = int(rng.integers(0, 3))  # 0..2 alignments per mRNA
+        for _ in range(n_ali):
+            ali = int(rng.integers(1, size + 1))
+            match = int(rng.integers(0, ali + 1))
+            mis = ali - match
+            t_start = int(rng.integers(0, 50000))
+            psl_lines.append("\t".join(map(str, [
+                match, mis, 0, 0, 0, 0, 0, 0, "+", name, size, 0, ali,
+                "chrT", 100000, t_start, t_start + ali, 1,
+                f"{ali},", "0,", f"{t_start},"])))
+    mrna_fa = os.path.join(FIX, "mrna.fa")
+    mrna_psl = os.path.join(FIX, "mrna.psl")
+    with open(mrna_fa, "w") as f:
+        f.write("\n".join(fa_lines) + "\n")
+    with open(mrna_psl, "w") as f:
+        f.write("\n".join(psl_lines) + "\n")
+    with open(os.path.join(GOLD, "pslMrnaCover.txt"), "w") as fh:
+        subprocess.run(
+            [os.path.join(KB, "pslMrnaCover"),
+             f"-listZero={os.path.join(GOLD, 'pslMrnaCover.zero.tab')}",
+             mrna_psl, mrna_fa], check=True, stdout=fh, env=env2)
+    with open(os.path.join(GOLD, "pslMrnaCover.minSize500.txt"), "w") as fh:
+        subprocess.run(
+            [os.path.join(KB, "pslMrnaCover"), "-minSize=500",
+             mrna_psl, mrna_fa], check=True, stdout=fh, env=env2)
+    print("pslMrnaCover goldens written")
 
 
 if __name__ == "__main__":

@@ -112,3 +112,17 @@ def test_maf_no_align(golden_dir):
     maf_tools.maf_no_align(os.path.join(golden_dir, "axtToMaf.prefixed.maf"),
                            out)
     assert out.getvalue() == _golden(golden_dir, "mafNoAlign.bed")
+
+def test_psl_mrna_cover(fixtures_dir, golden_dir, tmp_path):
+    zero = str(tmp_path / "zero.tab")
+    out = io.StringIO()
+    converters.psl_mrna_cover(os.path.join(fixtures_dir, "mrna.psl"),
+                              os.path.join(fixtures_dir, "mrna.fa"),
+                              out, list_zero=zero)
+    assert out.getvalue() == _golden(golden_dir, "pslMrnaCover.txt")
+    assert open(zero).read() == _golden(golden_dir, "pslMrnaCover.zero.tab")
+    out = io.StringIO()
+    converters.psl_mrna_cover(os.path.join(fixtures_dir, "mrna.psl"),
+                              os.path.join(fixtures_dir, "mrna.fa"),
+                              out, min_size=500)
+    assert out.getvalue() == _golden(golden_dir, "pslMrnaCover.minSize500.txt")
