@@ -199,27 +199,6 @@ def lav_to_psl(in_lav: str, out, target_strand: str = "",
 
 # ---------------------------------------------------------------- lavToAxt
 
-_NIB_SIG = 0x6BE93D3A
-_NIB_CHARS_MASKED = b"TCAGNXXXtcagnxxx"
-
-
-def _read_nib(path: str) -> bytes:
-    """nibLdPartMasked(NIB_MASK_MIXED) over the whole file (nib.c:145-230):
-    4-bit codes T=0 C=1 A=2 G=3 N=4, MASKED_BASE_BIT=8 -> lowercase."""
-    with open(path, "rb") as f:
-        raw = f.read()
-    sig, size = struct.unpack("<ii", raw[:8])
-    if sig != _NIB_SIG:
-        sig, size = struct.unpack(">ii", raw[:8])
-        if sig != _NIB_SIG:
-            raise ValueError(f"{path} is not a good .nib file")
-    data = np.frombuffer(raw[8:8 + (size + 1) // 2], np.uint8)
-    vals = np.empty(2 * data.shape[0], np.uint8)
-    vals[0::2] = data >> 4
-    vals[1::2] = data & 0xF
-    lut = np.frombuffer(_NIB_CHARS_MASKED, np.uint8)
-    return lut[vals[:size]].tobytes()
-
 
 def _read_fasta_mixed(path: str) -> dict[str, bytes]:
     """faReadAllMixed: fasta with case preserved; name is the first word."""
@@ -265,7 +244,8 @@ class _SeqSource:
             elif self.tbf is not None:
                 self._cache[name] = self.tbf.read_seq(name).chars(do_mask=True)
             else:
-                self._cache[name] = _read_nib(f"{self.spec}/{name}.nib")
+                from ..formats.nib import read_nib
+                self._cache[name] = read_nib(f"{self.spec}/{name}.nib")
         return self._cache[name]
 
     def fetch(self, name: str, start: int, end: int) -> bytes:

@@ -563,19 +563,8 @@ def _lav_blocks_from_axt(axt) -> list[tuple[int, int, int, int, int]]:
 
 
 def _write_nib(path: str, chars: bytes) -> None:
-    """Write a kent .nib file (sig 0x6BE93D3A, 4-bit codes T=0 C=1 A=2 G=3
-    N=4, bit 8 = soft-masked/lowercase, high nibble first)."""
-    import struct
-    code = {"T": 0, "C": 1, "A": 2, "G": 3, "N": 4}
-    vals = np.array([code.get(chr(c).upper(), 4) | (8 if chr(c).islower()
-                                                    else 0)
-                     for c in chars], np.uint8)
-    if vals.shape[0] % 2:
-        vals = np.append(vals, np.uint8(0))
-    packed = ((vals[0::2] << 4) | vals[1::2]).astype(np.uint8)
-    with open(path, "wb") as f:
-        f.write(struct.pack("<ii", 0x6BE93D3A, len(chars)))
-        f.write(packed.tobytes())
+    from genomealignmenttools_tpu.formats.nib import write_nib
+    write_nib(path, chars)
 
 
 def make_lav_fixtures(env2, KB, t2bit, q2bit):
