@@ -50,26 +50,12 @@ def main():
     scorer = DeviceChainScorer(scheme, gap_calc, t_genome, q_genome)
     ali_mb = meta["aligned_bases"] / 1e6
 
-    groups = {}
-    for c in chains:
-        groups.setdefault((c.t_name, c.q_name, c.q_strand), []).append(c)
-    group_blocks = {k: np.concatenate([c.blocks for c in cs])
-                    for k, cs in groups.items()}
-
     def run_once():
-        # full rescore flow: pack + device block scores + host combine
+        # full rescore flow (scoreChain semantics for every chain): device
+        # block scores in one round trip + gap costs + global/local combine
         total = 0.0
-        for (tn, qn, strand), cs in groups.items():
-            blocks = group_blocks[(tn, qn, strand)]
-            bs_all = scorer._dev.block_scores(tn, qn, strand, blocks)
-            off = 0
-            for c in cs:
-                nb = c.n_blocks
-                bs = bs_all[off:off + nb]
-                off += nb
-                gc = gap_costs(c.blocks, gap_calc)
-                total += chain_global_score(bs, gc)
-                total += chain_local_score(bs, gc)
+        for (g, loc, _ali) in scorer.score_chains(chains):
+            total += g + loc
         return total
 
     # warmup (compile + first pack)

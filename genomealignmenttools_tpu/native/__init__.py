@@ -13,14 +13,16 @@ import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libgatnative.so")
-_SRCS = [os.path.join(_DIR, "chaincodec.cpp")]
+_SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
+         os.path.join(_DIR, "pairpack.cpp")]
 
 _lib = None
 _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO] + _SRCS
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+           "-o", _SO] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -73,5 +75,32 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     lib.gat_free_buffer.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    lib.gat_pack_pairs.restype = None
+    lib.gat_pack_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
+    lib.gat_segment_sum.restype = None
+    lib.gat_segment_sum.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.gat_combine_scores.restype = None
+    lib.gat_combine_scores.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib

@@ -1,0 +1,156 @@
+// Aligned-pair packing for the dense rescore kernel.
+//
+// Chain blocks reference scattered (t, q) genome ranges; TPUs want dense
+// tiles.  This packs every chunk's t/q code bytes into fixed-width rows
+// (padding with code 4 = N, which scores 0 in every blastz scheme), so the
+// device kernel is pure elementwise arithmetic - no gathers anywhere.
+//
+// Replaces the per-base indexing of kent chainConnect.c chainScoreBlock's
+// inner loop (score += matrix[q[i]][t[i]]) with a one-time multithreaded
+// host restructure; scoring itself runs on the TPU.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Copy chunk code bytes into dense (n_chunks, chunk) rows.
+//   t_codes/q_codes: full (strand-resolved) genome code arrays
+//   c_toff/c_qoff/c_len: per-chunk genome offsets and lengths
+//   t_out/q_out: n_chunks*chunk bytes, written fully (tail padded with 4)
+void gat_pack_pairs(const uint8_t* t_codes, const uint8_t* q_codes,
+                    const int64_t* c_toff, const int64_t* c_qoff,
+                    const int64_t* c_len, int64_t n_chunks, int64_t chunk,
+                    uint8_t* t_out, uint8_t* q_out, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t len = c_len[i];
+            uint8_t* trow = t_out + i * chunk;
+            uint8_t* qrow = q_out + i * chunk;
+            std::memcpy(trow, t_codes + c_toff[i], len);
+            std::memcpy(qrow, q_codes + c_qoff[i], len);
+            if (len < chunk) {
+                std::memset(trow + len, 4, chunk - len);
+                std::memset(qrow + len, 4, chunk - len);
+            }
+        }
+    };
+    if (n_threads == 1 || n_chunks < 4096) {
+        worker(0, n_chunks);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n_chunks + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per;
+        int64_t hi = lo + per < n_chunks ? lo + per : n_chunks;
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Sorted-segment sum: add chunk scores into per-block totals.
+//   chunk_scores: n_chunks int32, c_block: sorted block id per chunk
+//   out: n_blocks int64, must be zero-initialized
+void gat_segment_sum(const int32_t* chunk_scores, const int64_t* c_block,
+                     int64_t n_chunks, int64_t* out) {
+    for (int64_t i = 0; i < n_chunks; ++i)
+        out[c_block[i]] += chunk_scores[i];
+}
+
+namespace {
+
+// Exact gapCalc cost (kent gapCalc.c interpolate:82-104 + gapCalcCost:
+// 298-331): double arithmetic in the same order as the C original (and the
+// Python formats/gapcalc.py port), truncated toward zero.
+struct GapTables {
+    int64_t small_size;
+    const int64_t *q_small, *t_small, *b_small;
+    const int64_t* long_pos;
+    int64_t n_long;
+    const double *q_long, *t_long, *b_long;
+};
+
+inline int64_t one_sided(int64_t d, const int64_t* small, const double* v,
+                         const GapTables& g) {
+    if (d < g.small_size) return small[d];
+    const int64_t* s = g.long_pos;
+    int64_t n = g.n_long;
+    int64_t last_pos = s[n - 1];
+    if (d >= last_pos) {
+        double slope = (v[n - 1] - v[n - 2]) / (double)(last_pos - s[n - 2]);
+        return (int64_t)(v[n - 1] + slope * (double)(d - last_pos));
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        if (d == s[i]) return (int64_t)v[i];
+        if (d < s[i]) {
+            double ds = (double)(s[i] - s[i - 1]);
+            double dv = v[i] - v[i - 1];
+            return (int64_t)(v[i - 1] + dv * (double)(d - s[i - 1]) / ds);
+        }
+    }
+    return 0;  // unreachable: d < last_pos guarantees a bracket
+}
+
+inline int64_t gap_cost(int64_t dq, int64_t dt, const GapTables& g) {
+    if (dt < 0) dt = 0;
+    if (dq < 0) dq = 0;
+    if (dt == 0) return one_sided(dq, g.q_small, g.q_long, g);
+    if (dq == 0) return one_sided(dt, g.t_small, g.t_long, g);
+    return one_sided(dq + dt, g.b_small, g.b_long, g);
+}
+
+}  // namespace
+
+// Whole-workload score combine: chunk scores -> block scores -> per-chain
+// (global, local, aliBases).  Replicates engines/scoring.py exactly:
+//   global = sum(bs) - sum(gapCost)         (chainConnect.c chainCalcScore)
+//   local  = max over blocks of clamped running sum (scoreChain.c
+//            chainCalcScoreLocal), via C_j - min(0, min prefix C_k)
+void gat_combine_scores(
+    const int16_t* chunk_scores, const int64_t* c_block, int64_t n_chunks,
+    const int64_t* blocks,       // n_blocks * 4 [tS,tE,qS,qE]
+    const int64_t* chain_off,    // n_chains+1 block-range offsets
+    int64_t n_chains,
+    int64_t small_size,
+    const int64_t* q_small, const int64_t* t_small, const int64_t* b_small,
+    const int64_t* long_pos, int64_t n_long,
+    const double* q_long, const double* t_long, const double* b_long,
+    int64_t* block_scores_out,   // n_blocks, zero-initialized by caller
+    int64_t* out) {              // n_chains * 3: global, local, ali
+    for (int64_t i = 0; i < n_chunks; ++i)
+        block_scores_out[c_block[i]] += chunk_scores[i];
+    GapTables g{small_size, q_small, t_small, b_small,
+                long_pos, n_long, q_long, t_long, b_long};
+    for (int64_t ci = 0; ci < n_chains; ++ci) {
+        int64_t lo = chain_off[ci], hi = chain_off[ci + 1];
+        int64_t total_bs = 0, total_gc = 0, ali = 0;
+        int64_t c = 0, minc = 0, best = INT64_MIN;
+        for (int64_t j = lo; j < hi; ++j) {
+            if (j > lo) {
+                int64_t dt = blocks[j * 4 + 0] - blocks[(j - 1) * 4 + 1];
+                int64_t dq = blocks[j * 4 + 2] - blocks[(j - 1) * 4 + 3];
+                int64_t gc = gap_cost(dq, dt, g);
+                total_gc += gc;
+                c -= gc;
+                if (c < minc) minc = c;
+            }
+            int64_t bs = block_scores_out[j];
+            total_bs += bs;
+            ali += blocks[j * 4 + 1] - blocks[j * 4 + 0];
+            c += bs;
+            if (c < minc) minc = c;
+            int64_t clamped = c - minc;
+            if (clamped > best) best = clamped;
+        }
+        out[ci * 3 + 0] = total_bs - total_gc;
+        out[ci * 3 + 1] = (hi > lo) ? (best > 0 ? best : 0) : 0;
+        out[ci * 3 + 2] = ali;
+    }
+}
+
+}  // extern "C"

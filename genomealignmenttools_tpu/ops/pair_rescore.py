@@ -1,0 +1,353 @@
+"""Dense pair-packed chain rescoring - the highest-throughput device path.
+
+The rescore hot loop (kent chainConnect.c chainScoreBlock:14-22,
+``score += matrix[q[i]][t[i]]``) is an irregular gather, which TPUs hate
+(~0.1 Gelem/s through XLA gather, measured).  Instead of fighting the
+gather on device, the host (native C++, multithreaded - see
+native/pairpack.cpp) restructures blocks ONCE into dense (n_chunks, CHUNK)
+uint8 tiles of aligned t/q code pairs, padded with code 4 (N), whose
+substitution score is zero in every blastz scheme (axt.c propagateCase
+leaves non-acgt rows zero).  The device pass is then pure elementwise
+arithmetic + a row reduction - no gathers, no dynamic slices - and runs at
+HBM speed.
+
+Two latency-shaped decisions (the device link has a fixed per-
+dispatch+fetch round-trip cost, ~26 ms measured through the axon tunnel):
+
+- whole workloads are scored in ONE kernel call: tiles from every
+  (t_chrom, q_chrom, strand) group are concatenated, since packed pairs
+  are genome-agnostic (block_scores_multi)
+- per-chunk sums return as int16 (CHUNK=128 keeps |sum| <= 16256), halving
+  the fetch payload
+
+Scoring uses the packed-LUT trick: for each q code a 32-bit constant packs
+the four t scores as bytes, so per base the score is
+``sign_extend((packed[q] >> 8*t) & 0xFF)``.
+
+Packed tiles are cached per blocks-array identity (pinned), matching the
+chainCleaner / chainNet -rescore usage pattern where the same chain set is
+re-scored repeatedly; results are bit-identical to the host numpy path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_rescore import pack_lut
+
+CHUNK = 128          # bases per packed row (one lane vreg; |chunk sum| < 2^15)
+ROW_PAD = 1024       # row-count bucket granularity (compile-shape reuse)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pair_scores_kernel(t8, q8, packed_lut):
+    """(M, CHUNK) uint8 pair tiles -> (M,) int16 chunk scores."""
+    t = t8.astype(jnp.int32)
+    q = q8.astype(jnp.int32)
+    packed = jnp.where(q == 0, packed_lut[0],
+                       jnp.where(q == 1, packed_lut[1],
+                                 jnp.where(q == 2, packed_lut[2],
+                                           jnp.where(q == 3, packed_lut[3],
+                                                     0))))
+    v = jax.lax.shift_right_logical(packed, jnp.minimum(t, 3) * 8) & 0xFF
+    val = v - ((v & 0x80) << 1)  # sign-extend the byte
+    val = jnp.where((t < 4) & (q < 4), val, 0)
+    return jnp.sum(val, axis=1, dtype=jnp.int16)
+
+
+def chunk_blocks(blocks: np.ndarray, chunk: int = CHUNK):
+    """Split (n,4) blocks into <=chunk-base pieces (vectorized).
+
+    Returns (c_toff, c_qoff, c_len, c_block) int64 arrays."""
+    n = blocks.shape[0]
+    sizes = (blocks[:, 1] - blocks[:, 0]).astype(np.int64)
+    n_per = np.maximum((sizes + chunk - 1) // chunk, 1)
+    total = int(n_per.sum())
+    c_block = np.repeat(np.arange(n, dtype=np.int64), n_per)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_per) - n_per, n_per)
+    c_toff = blocks[c_block, 0].astype(np.int64) + within * chunk
+    c_qoff = blocks[c_block, 2].astype(np.int64) + within * chunk
+    c_len = np.minimum(sizes[c_block] - within * chunk, chunk)
+    return c_toff, c_qoff, c_len, c_block
+
+
+def _fill_pairs(t_codes, q_codes, c_toff, c_qoff, c_len, t8, q8, m,
+                chunk: int):
+    """Fill rows [0, m) of t8/q8 from the genomes (native or numpy)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gat_pack_pairs(
+            t_codes.ctypes.data_as(u8p), q_codes.ctypes.data_as(u8p),
+            c_toff.ctypes.data_as(i64p), c_qoff.ctypes.data_as(i64p),
+            c_len.ctypes.data_as(i64p), m, chunk,
+            t8.ctypes.data_as(u8p), q8.ctypes.data_as(u8p),
+            min(os.cpu_count() or 1, 16))
+    else:
+        lane = np.arange(chunk, dtype=np.int64)
+        t_idx = np.minimum(c_toff[:, None] + lane, t_codes.shape[0] - 1)
+        q_idx = np.minimum(c_qoff[:, None] + lane, q_codes.shape[0] - 1)
+        valid = lane < c_len[:, None]
+        t8[:m] = np.where(valid, t_codes[t_idx], 4)
+        q8[:m] = np.where(valid, q_codes[q_idx], 4)
+
+
+def pack_pairs(t_codes: np.ndarray, q_codes: np.ndarray,
+               blocks: np.ndarray, chunk: int = CHUNK):
+    """Dense (M_pad, chunk) uint8 t/q tiles + chunk->block map."""
+    c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks, chunk)
+    m = c_toff.shape[0]
+    m_pad = ((m + ROW_PAD - 1) // ROW_PAD) * ROW_PAD
+    t8 = np.empty((m_pad, chunk), np.uint8)
+    q8 = np.empty((m_pad, chunk), np.uint8)
+    t8[m:] = 4
+    q8[m:] = 4
+    _fill_pairs(np.ascontiguousarray(t_codes), np.ascontiguousarray(q_codes),
+                c_toff, c_qoff, c_len, t8, q8, m, chunk)
+    return t8, q8, c_block, m
+
+
+class PairBlockScorer:
+    """Drop-in block_scores backend over pair-packed tiles.
+
+    block_scores_multi scores several (t,q,strand,blocks) jobs in one
+    device round trip; block_scores is the single-job convenience."""
+
+    def __init__(self, lut: np.ndarray, t_genome, q_genome):
+        self.packed_lut = jnp.asarray(pack_lut(lut))
+        self.t_genome = t_genome
+        self.q_genome = q_genome
+        self._pack_cache: dict[tuple, tuple] = {}
+
+    def _pack_multi(self, jobs):
+        """jobs: list of (t_name, q_name, q_strand, blocks).  Returns
+        (dev_t8, dev_q8, c_block_all, m, block_counts)."""
+        ck = tuple(id(b) for (_, _, _, b) in jobs)
+        hit = self._pack_cache.get(ck)
+        if hit is not None and all(a is b for a, (_, _, _, b) in
+                                   zip(hit[0], jobs)):
+            return hit[1]
+        parts = []
+        c_blocks = []
+        block_base = 0
+        for (tn, qn, strand, blocks) in jobs:
+            c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks)
+            parts.append((self.t_genome.codes(tn, "+"),
+                          self.q_genome.codes(qn, strand),
+                          c_toff, c_qoff, c_len))
+            c_blocks.append(c_block + block_base)
+            block_base += blocks.shape[0]
+        m = sum(p[2].shape[0] for p in parts)
+        m_pad = ((m + ROW_PAD - 1) // ROW_PAD) * ROW_PAD
+        t8 = np.empty((m_pad, CHUNK), np.uint8)
+        q8 = np.empty((m_pad, CHUNK), np.uint8)
+        t8[m:] = 4
+        q8[m:] = 4
+        row = 0
+        for (tc, qc, c_toff, c_qoff, c_len) in parts:
+            k = c_toff.shape[0]
+            _fill_pairs(np.ascontiguousarray(tc), np.ascontiguousarray(qc),
+                        c_toff, c_qoff, c_len, t8[row:row + k],
+                        q8[row:row + k], k, CHUNK)
+            row += k
+        c_block_all = np.concatenate(c_blocks) if c_blocks \
+            else np.zeros(0, np.int64)
+        packed = (jnp.asarray(t8), jnp.asarray(q8), c_block_all, m,
+                  block_base)
+        if len(self._pack_cache) > 16:
+            self._pack_cache.clear()
+        self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
+        return packed
+
+    def chunk_scores_multi(self, jobs):
+        """One device round trip: (chunk_scores int16[m], c_block, n_blocks).
+        """
+        dev_t8, dev_q8, c_block, m, n_blocks = self._pack_multi(jobs)
+        cs = np.asarray(_pair_scores_kernel(dev_t8, dev_q8,
+                                            self.packed_lut))[:m]
+        return cs, c_block, n_blocks
+
+    def block_scores_multi(self, jobs) -> np.ndarray:
+        cs, c_block, n_blocks = self.chunk_scores_multi(jobs)
+        out = np.zeros(n_blocks, np.int64)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+            cs32 = cs.astype(np.int32)
+            lib.gat_segment_sum(
+                cs32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                c_block.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cs.shape[0],
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        else:
+            np.add.at(out, c_block, cs.astype(np.int64))
+        return out
+
+    def block_scores(self, t_name: str, q_name: str, q_strand: str,
+                     blocks: np.ndarray) -> np.ndarray:
+        n = blocks.shape[0]
+        if n == 0:
+            return np.zeros(0, np.int64)
+        return self.block_scores_multi([(t_name, q_name, q_strand, blocks)])
+
+
+# ---------------------------------------------------------------------------
+# Fully on-device chain scoring: the measured bottleneck of the rescore loop
+# on the target deployment is the device->host result fetch (~50 MB/s through
+# the tunnel; dispatch ~26 ms fixed, compute essentially free).  So the
+# global/local combine (engines/scoring.py chain_global_score /
+# chain_local_score) runs on device too, via segmented associative scans over
+# the chunk stream, and only (n_chains, 2) int32 comes back.
+#
+# Semantics (bit-exact vs the host path, tests enforce):
+#   delta_i = chunk_score_i - gap_cost_before_chunk_i
+#   C = segmented cumsum(delta)            (segments = chains)
+#   runmin = segmented prefix-min of min(0, C, C - chunk_score)
+#            (C - s_i = prefix value after the gap, before chunk i)
+#   local  = max(0, max over block-end chunks of C - runmin)
+#   global = C at chain end
+# Gap costs are host-precomputed ints (formats/gapcalc.py, exact) uploaded
+# once with the tiles; scans are int32 (guarded: callers check the per-chain
+# score bound fits).
+
+
+def _seg_scan(op, flags, vals):
+    """Segmented inclusive scan: `flags` marks segment starts."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb != 0, vb, op(va, vb))
+    return jax.lax.associative_scan(comb, (flags, vals))[1]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pair_chain_scores_kernel(t8, q8, packed_lut, bias_gap, seg_start,
+                              first, sample, end_idx):
+    """-> (n_chains, 2) int32 [global, local].
+
+    The running minimum may only see prefixes that exist in the host/C
+    step sequence - post-block (last chunk of a block) and post-gap
+    (C - s at the first chunk of a block) - NOT mid-block chunk prefixes:
+    clamping is not refinement-invariant, so finer sample points would
+    change the local score."""
+    t = t8.astype(jnp.int32)
+    q = q8.astype(jnp.int32)
+    packed = jnp.where(q == 0, packed_lut[0],
+                       jnp.where(q == 1, packed_lut[1],
+                                 jnp.where(q == 2, packed_lut[2],
+                                           jnp.where(q == 3, packed_lut[3],
+                                                     0))))
+    v = jax.lax.shift_right_logical(packed, jnp.minimum(t, 3) * 8) & 0xFF
+    val = v - ((v & 0x80) << 1)
+    val = jnp.where((t < 4) & (q < 4), val, 0)
+    s = jnp.sum(val, axis=1, dtype=jnp.int32)            # (M,)
+    delta = s - bias_gap
+    C = _seg_scan(jnp.add, seg_start, delta)
+    pos_inf = jnp.int32(2 ** 31 - 1)
+    neg_inf = jnp.int32(-(2 ** 31) + 1)
+    m = jnp.minimum(jnp.where(sample != 0, C, pos_inf),
+                    jnp.where(first != 0, C - s, pos_inf))
+    runmin = jnp.minimum(_seg_scan(jnp.minimum, seg_start, m), 0)
+    sampled = jnp.where(sample != 0, C - runmin, neg_inf)
+    runmax = _seg_scan(jnp.maximum, seg_start, sampled)
+    glob = C[end_idx]
+    loc = jnp.maximum(runmax[end_idx], 0)
+    return jnp.stack([glob, loc], axis=1)
+
+
+class PairChainScorer:
+    """Whole-workload (global, local, ali) scoring in one device round trip.
+
+    Built on top of a PairBlockScorer's tile packing; adds the per-chunk
+    scan metadata (gap biases, segment flags, sample mask, chain ends)."""
+
+    def __init__(self, pair_scorer: PairBlockScorer, gap_calc):
+        self.pair = pair_scorer
+        self.gap_calc = gap_calc
+        self._meta_cache: dict[tuple, tuple] = {}
+
+    def _meta(self, jobs, chain_nblocks: list[int]):
+        """Scan metadata for jobs + per-chain block counts (cached)."""
+        ck = (tuple(id(b) for (_, _, _, b) in jobs), tuple(chain_nblocks))
+        hit = self._meta_cache.get(ck)
+        if hit is not None and all(a is b for a, (_, _, _, b) in
+                                   zip(hit[0], jobs)):
+            return hit[1]
+        from ..engines.scoring import gap_costs
+        dev_t8, dev_q8, c_block, m, n_blocks = self.pair._pack_multi(jobs)
+        m_pad = dev_t8.shape[0]
+        # per-block metadata across the concatenated job blocks
+        all_blocks = np.concatenate([b for (_, _, _, b) in jobs])
+        chain_of_block = np.repeat(np.arange(len(chain_nblocks)),
+                                   chain_nblocks)
+        # gap cost before each block (0 at chain starts)
+        gc_all = np.zeros(all_blocks.shape[0], np.int64)
+        off = 0
+        for nb in chain_nblocks:
+            gc_all[off + 1:off + nb] = gap_costs(
+                all_blocks[off:off + nb], self.gap_calc)
+            off += nb
+        assert np.abs(gc_all).max(initial=0) < 2 ** 31, \
+            "gap cost exceeds int32 (device combine unavailable)"
+        per_chain_gc = np.zeros(len(chain_nblocks), np.int64)
+        np.add.at(per_chain_gc, np.repeat(np.arange(len(chain_nblocks)),
+                                          chain_nblocks), gc_all)
+        # chunk-level arrays
+        first_chunk = np.zeros(m_pad, np.int32)
+        sample = np.zeros(m_pad, np.int32)
+        bias = np.zeros(m_pad, np.int32)
+        is_first = np.ones(m, bool)
+        is_first[1:] = c_block[1:] != c_block[:-1]
+        first_idx = np.flatnonzero(is_first)
+        first_chunk[first_idx] = 1
+        is_last = np.ones(m, bool)
+        is_last[:-1] = c_block[1:] != c_block[:-1]
+        sample[np.flatnonzero(is_last)] = 1
+        bias[first_idx] = gc_all[c_block[first_idx]]
+        seg = np.zeros(m_pad, np.int32)
+        chain_of_chunk = chain_of_block[c_block]
+        seg_new = np.ones(m, bool)
+        seg_new[1:] = chain_of_chunk[1:] != chain_of_chunk[:-1]
+        seg[np.flatnonzero(seg_new)] = 1
+        if m < m_pad:
+            seg[m] = 1  # padding is its own segment
+        # chain end = last chunk of each chain
+        end_idx = np.zeros(len(chain_nblocks), np.int32)
+        ends = np.flatnonzero(seg_new)
+        end_idx[:-1] = ends[1:] - 1
+        end_idx[-1] = m - 1
+        ali = np.zeros(len(chain_nblocks), np.int64)
+        np.add.at(ali, chain_of_block,
+                  (all_blocks[:, 1] - all_blocks[:, 0]).astype(np.int64))
+        # int32 scan guard: |any prefix| <= ali*127 + chain gap-cost total
+        bound = ali * 127 + per_chain_gc
+        if bound.max(initial=0) >= 2 ** 31:
+            raise OverflowError("chain score bound exceeds int32; "
+                                "use the host combine path")
+        meta = (dev_t8, dev_q8, jnp.asarray(bias), jnp.asarray(seg),
+                jnp.asarray(first_chunk), jnp.asarray(sample),
+                jnp.asarray(end_idx), ali)
+        if len(self._meta_cache) > 8:
+            self._meta_cache.clear()
+        self._meta_cache[ck] = ([b for (_, _, _, b) in jobs], meta)
+        return meta
+
+    def score(self, jobs, chain_nblocks: list[int]):
+        """[(global, local, ali)] per chain, one device round trip."""
+        (dev_t8, dev_q8, bias, seg, first, sample, end_idx, ali) = \
+            self._meta(jobs, chain_nblocks)
+        out = np.asarray(_pair_chain_scores_kernel(
+            dev_t8, dev_q8, self.pair.packed_lut, bias, seg, first,
+            sample, end_idx))
+        return [(float(out[i, 0]), float(out[i, 1]), int(ali[i]))
+                for i in range(len(chain_nblocks))]

@@ -3,20 +3,24 @@
 Replaces chainScoreBlock (kent chainConnect.c:14-22): for every aligned
 block, sum matrix[q[i]][t[i]] over its bases.  This is >95% of the work in
 scoreChain / chainNet -rescore / chainCleaner (per-base matrix lookups over
-up to hundreds of Mb), so it runs on the TPU:
+up to hundreds of Mb), so it runs on the TPU.  Three backends, selected by
+DeviceChainScorer (GAT_RESCORE=pair|pallas|xla overrides):
 
-- genomes live in HBM as uint8 code arrays (T=0 C=1 A=2 G=3 N=4), one
-  array per (chrom, strand)
-- blocks are shipped as tiny SoA int32 arrays (start/size per side)
-- the kernel expands blocks to per-base indices on device (cumsum +
-  repeat), gathers both genome sides, maps through the 5x5 LUT and
-  segment-sums per block
-- everything is integer math; results are bit-identical to the host numpy
-  path (tests enforce this), so byte-parity of downstream outputs is
-  preserved no matter which path ran
+- "pair" (default on accelerators, ops/pair_rescore.py): native C++
+  multithreaded host pack into dense aligned-pair tiles; device pass is
+  gather-free elementwise eval + segmented-scan combine, one round trip
+  per workload.  The fastest path by a wide margin.
+- "pallas" (ops/pallas_rescore.py): genome windows stay resident in HBM;
+  a Pallas kernel DMAs windows into VMEM and aligns q to t with in-register
+  rolls.  No per-call pack memory cost.
+- "xla" (this file, default on CPU): expand blocks to per-base indices on
+  device (cumsum + repeat), gather both genome sides, map through the 5x5
+  LUT, segment-sum.  Gathers are slow on TPU but fine on CPU test runs.
 
-Shapes are bucketed to powers of two so XLA compiles a handful of program
-shapes regardless of input sizes.
+Everything is integer math; all paths are bit-identical to the host numpy
+reference (tests enforce this), so byte-parity of downstream outputs is
+preserved no matter which path ran.  Shapes are bucketed to powers of two
+so XLA compiles a handful of program shapes regardless of input sizes.
 """
 
 from __future__ import annotations
@@ -150,22 +154,36 @@ class DeviceChainScorer:
     """
 
     def __init__(self, scheme, gap_calc, t_genome: Genome, q_genome: Genome,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, mode: str | None = None):
         self.scheme = scheme
         self.gap_calc = gap_calc
         self.t_genome = t_genome
         self.q_genome = q_genome
-        t_cache = DeviceGenomeCache(t_genome)
-        q_cache = DeviceGenomeCache(q_genome)
-        if use_pallas is None:
-            use_pallas = jax.default_backend() != "cpu"
-        if use_pallas:
+        import os
+        if mode is None:
+            mode = os.environ.get("GAT_RESCORE", "auto")
+        if mode == "auto":
+            if use_pallas is True:
+                mode = "pallas"
+            elif use_pallas is False:
+                mode = "xla"
+            else:
+                # pair packing is the fastest path on accelerator backends;
+                # on CPU the XLA gather kernel avoids the pack memory cost
+                mode = "pair" if jax.default_backend() != "cpu" else "xla"
+        if mode == "pair":
+            from .pair_rescore import PairBlockScorer
+            self._dev = PairBlockScorer(np.asarray(scheme.lut), t_genome,
+                                        q_genome)
+        elif mode == "pallas":
             from .pallas_rescore import PallasBlockScorer
-            self._dev = PallasBlockScorer(np.asarray(scheme.lut), t_cache,
-                                          q_cache)
+            self._dev = PallasBlockScorer(
+                np.asarray(scheme.lut), DeviceGenomeCache(t_genome),
+                DeviceGenomeCache(q_genome))
         else:
-            self._dev = DeviceBlockScorer(np.asarray(scheme.lut), t_cache,
-                                          q_cache)
+            self._dev = DeviceBlockScorer(
+                np.asarray(scheme.lut), DeviceGenomeCache(t_genome),
+                DeviceGenomeCache(q_genome))
 
     def score_arrays(self, chain):
         from ..engines.scoring import gap_costs
@@ -188,31 +206,138 @@ class DeviceChainScorer:
         return float(g), float(loc), ali
 
     # -- fully batched path --------------------------------------------------
-    def score_chains(self, chains: list) -> list[tuple[float, float, int]]:
-        """Batched (global, local, aliBases) for many chains.
-
-        Groups chains by (t_chrom, q_chrom, strand), concatenates their
-        blocks into one device call per group, then combines per chain on
-        host.  Order of results matches input order.
-        """
-        from ..engines.scoring import (chain_global_score, chain_local_score,
-                                       gap_costs)
-        results: list = [None] * len(chains)
+    def _grouped(self, chains: list):
+        """(jobs, order): one job per (t,q,strand) group with concatenated
+        blocks; concatenations are memoized by chain-blocks identity (the
+        arrays are pinned in the memo, so a hit guarantees freshness)."""
         groups: dict[tuple[str, str, str], list[int]] = {}
         for i, c in enumerate(chains):
             groups.setdefault((c.t_name, c.q_name, c.q_strand), []).append(i)
+        jobs = []
+        order: list[int] = []
+        cache = getattr(self, "_concat_cache", None)
+        if cache is None:
+            cache = self._concat_cache = {}
         for (tn, qn, strand), idxs in groups.items():
-            all_blocks = np.concatenate([chains[i].blocks for i in idxs])
-            bs_all = self._dev.block_scores(tn, qn, strand, all_blocks)
-            off = 0
-            for i in idxs:
-                c = chains[i]
-                nb = c.n_blocks
-                bs = bs_all[off:off + nb]
-                off += nb
-                gc = gap_costs(c.blocks, self.gap_calc)
-                g = chain_global_score(bs, gc)
-                loc = chain_local_score(bs, gc)
-                ali = int((c.blocks[:, 1] - c.blocks[:, 0]).sum())
-                results[i] = (float(g), float(loc), ali)
+            parts = [chains[i].blocks for i in idxs]
+            ck = tuple(id(b) for b in parts)
+            hit = cache.get(ck)
+            if hit is not None and all(a is b for a, b in zip(hit[0], parts)):
+                all_blocks = hit[1]
+            else:
+                all_blocks = np.ascontiguousarray(np.concatenate(parts))
+                if len(cache) > 32:
+                    cache.clear()
+                cache[ck] = (parts, all_blocks)
+            jobs.append((tn, qn, strand, all_blocks))
+            order.extend(idxs)
+        return jobs, order
+
+    def score_chains(self, chains: list) -> list[tuple[float, float, int]]:
+        """Batched (global, local, aliBases) for many chains.
+
+        Groups chains by (t_chrom, q_chrom, strand) and scores the whole
+        workload in ONE device round trip (pair mode), combining per chain
+        in native code; other modes fall back to one device call per group
+        with host combine.  Order of results matches input order.
+        """
+        from ..engines.scoring import (chain_global_score, chain_local_score,
+                                       gap_costs)
+        from ..native import get_lib
+        from .pair_rescore import PairBlockScorer
+        results: list = [None] * len(chains)
+        jobs, order = self._grouped(chains)
+        lib = get_lib()
+        if isinstance(self._dev, PairBlockScorer):
+            # fastest: global/local combine ON DEVICE (segmented scans),
+            # fetching only (n_chains, 2); falls through on int32-overflow
+            # risk (gigantic chains) to the native host combine
+            from .pair_rescore import PairChainScorer
+            pcs = getattr(self, "_pair_chain_scorer", None)
+            if pcs is None:
+                pcs = self._pair_chain_scorer = PairChainScorer(
+                    self._dev, self.gap_calc)
+            try:
+                scored = pcs.score(jobs,
+                                   [chains[i].n_blocks for i in order])
+                for k, i in enumerate(order):
+                    results[i] = scored[k]
+                return results
+            except OverflowError:
+                pass
+        if isinstance(self._dev, PairBlockScorer) and lib is not None:
+            cs, c_block, n_blocks = self._dev.chunk_scores_multi(jobs)
+            all_blocks = self._all_blocks_memo(jobs)
+            chain_off = np.zeros(len(order) + 1, np.int64)
+            for k, i in enumerate(order):
+                chain_off[k + 1] = chain_off[k] + chains[i].n_blocks
+            out = _native_combine(lib, cs, c_block, all_blocks, chain_off,
+                                  self.gap_calc)
+            for k, i in enumerate(order):
+                results[i] = (float(out[k, 0]), float(out[k, 1]),
+                              int(out[k, 2]))
+            return results
+        # generic path: batched device scores, host combine per chain
+        if isinstance(self._dev, PairBlockScorer):
+            flat = self._dev.block_scores_multi(jobs)
+        else:
+            flat = np.concatenate(
+                [self._dev.block_scores(tn, qn, strand, blocks)
+                 for (tn, qn, strand, blocks) in jobs]) if jobs \
+                else np.zeros(0, np.int64)
+        off = 0
+        for i in order:
+            c = chains[i]
+            nb = c.n_blocks
+            bs = flat[off:off + nb]
+            off += nb
+            gc = gap_costs(c.blocks, self.gap_calc)
+            results[i] = (float(chain_global_score(bs, gc)),
+                          float(chain_local_score(bs, gc)),
+                          int((c.blocks[:, 1] - c.blocks[:, 0]).sum()))
         return results
+
+    def _all_blocks_memo(self, jobs) -> np.ndarray:
+        """Concatenated int64 blocks across jobs, memoized by identity."""
+        memo = getattr(self, "_all_blocks_cache", None)
+        ck = tuple(id(b) for (_, _, _, b) in jobs)
+        if memo is not None and memo[0] == ck and \
+                all(a is b for a, (_, _, _, b) in zip(memo[1], jobs)):
+            return memo[2]
+        parts = [b for (_, _, _, b) in jobs]
+        all_blocks = np.ascontiguousarray(
+            np.concatenate(parts) if parts else np.zeros((0, 4)), np.int64)
+        self._all_blocks_cache = (ck, parts, all_blocks)
+        return all_blocks
+
+
+def _native_combine(lib, chunk_scores: np.ndarray, c_block: np.ndarray,
+                    blocks: np.ndarray, chain_off: np.ndarray, gap_calc):
+    """Call gat_combine_scores; returns (n_chains, 3) int64
+    [global, local, ali]."""
+    import ctypes
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    n_chains = chain_off.shape[0] - 1
+    n_blocks = blocks.shape[0]
+    bs_out = np.zeros(n_blocks, np.int64)
+    out = np.zeros((n_chains, 3), np.int64)
+    chunk_scores = np.ascontiguousarray(chunk_scores, np.int16)
+    c_block = np.ascontiguousarray(c_block, np.int64)
+    gc = gap_calc
+    lib.gat_combine_scores(
+        chunk_scores.ctypes.data_as(i16p), c_block.ctypes.data_as(i64p),
+        chunk_scores.shape[0],
+        blocks.ctypes.data_as(i64p), chain_off.ctypes.data_as(i64p),
+        n_chains,
+        int(gc.small_size),
+        gc.q_small.ctypes.data_as(i64p), gc.t_small.ctypes.data_as(i64p),
+        gc.b_small.ctypes.data_as(i64p),
+        gc.long_pos.ctypes.data_as(i64p), gc.long_pos.shape[0],
+        np.ascontiguousarray(gc.q_long).ctypes.data_as(f64p),
+        np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
+        np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
+        bs_out.ctypes.data_as(i64p),
+        out.ctypes.data_as(i64p))
+    return out

@@ -53,3 +53,81 @@ def test_score_chain_file_with_device_scorer(fixtures_dir, golden_dir, tmp_path)
         out, linear_gap="loose", scorer_factory=DeviceChainScorer)
     golden = open(os.path.join(golden_dir, "scoreChain.loose.chain"), "rb").read()
     assert open(out, "rb").read() == golden
+
+
+def test_pair_scorer_matches_host(fixtures_dir):
+    """Pair-packed path (native pack + XLA kernel + native combine) is
+    bit-identical to the host reference, on both strands."""
+    scheme = score_scheme_default()
+    gc = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = read_chains(os.path.join(fixtures_dir, "synthetic.chain"))
+    host = ChainScorer(scheme, gc, t_genome, q_genome)
+    dev = DeviceChainScorer(scheme, gc, t_genome, q_genome, mode="pair")
+    batched = dev.score_chains(chains)
+    for chain, got in zip(chains, batched):
+        assert got == host.global_and_local(chain)
+    # second call exercises the pack-cache hit path
+    assert dev.score_chains(chains) == batched
+    # per-chain API
+    for chain in chains[:10]:
+        bs_h, _ = host.score_arrays(chain)
+        bs_d, _ = dev.score_arrays(chain)
+        assert np.array_equal(bs_h, bs_d)
+
+
+def test_pair_scorer_numpy_fallback(fixtures_dir, monkeypatch):
+    """GAT_NATIVE=0 exercises the pure-numpy pack + host combine path."""
+    import genomealignmenttools_tpu.native as nat
+    monkeypatch.setenv("GAT_NATIVE", "0")
+    monkeypatch.setattr(nat, "_tried", False)
+    monkeypatch.setattr(nat, "_lib", None)
+    scheme = score_scheme_default()
+    gc = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = read_chains(os.path.join(fixtures_dir, "synthetic.chain"))
+    host = ChainScorer(scheme, gc, t_genome, q_genome)
+    dev = DeviceChainScorer(scheme, gc, t_genome, q_genome, mode="pair")
+    got = dev.score_chains(chains[:20])
+    want = [host.global_and_local(c) for c in chains[:20]]
+    assert got == want
+    monkeypatch.setattr(nat, "_tried", False)
+    monkeypatch.setattr(nat, "_lib", None)
+
+
+def test_device_combine_randomized(fixtures_dir):
+    """Segmented-scan device combine vs host on adversarial random chains
+    (negative runs, clamped-local edge cases, multi-chunk blocks)."""
+    scheme = score_scheme_default()
+    gcalc = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    host = ChainScorer(scheme, gcalc, t_genome, q_genome)
+    dev = DeviceChainScorer(scheme, gcalc, t_genome, q_genome, mode="pair")
+    rng = np.random.default_rng(11)
+
+    from genomealignmenttools_tpu.formats.chain import Chain
+    chains = []
+    for ci in range(40):
+        n = int(rng.integers(1, 12))
+        t = int(rng.integers(0, 800_000))
+        q = int(rng.integers(0, 1_700_000))
+        rows = []
+        for _ in range(n):
+            ln = int(rng.integers(1, 400))  # many blocks cross chunk size
+            rows.append((t, t + ln, q, q + ln))
+            t += ln + int(rng.integers(0, 3000))
+            q += ln + int(rng.integers(0, 3000))
+        blocks = np.array(rows, np.int64)
+        strand = "+" if ci % 2 else "-"
+        chains.append(Chain(
+            score=0.0, t_name="chrA", t_size=1_000_000,
+            t_start=int(blocks[0, 0]), t_end=int(blocks[-1, 1]),
+            q_name="chrQ1", q_size=2_000_000, q_strand=strand,
+            q_start=int(blocks[0, 2]), q_end=int(blocks[-1, 3]),
+            id=ci + 1, blocks=blocks))
+    got = dev.score_chains(chains)
+    want = [host.global_and_local(c) for c in chains]
+    assert got == want

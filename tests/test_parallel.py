@@ -35,3 +35,26 @@ def test_sharded_scores_match_host(fixtures_dir):
         got = scorer.block_scores(t_genome.codes("chrA"),
                                   q_genome.codes("chrQ1"), blocks)
         assert np.array_equal(got, expected), f"mismatch at n_dev={n_dev}"
+
+
+def test_sharded_pair_scores_match_host(fixtures_dir):
+    from genomealignmenttools_tpu.ops.pair_rescore import pack_pairs
+    from genomealignmenttools_tpu.parallel.mesh import ShardedPairScorer
+    scheme = score_scheme_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = [c for c in read_chains(os.path.join(fixtures_dir,
+                                                  "synthetic.chain"))
+              if c.t_name == "chrA" and c.q_name == "chrQ1"
+              and c.q_strand == "-"]
+    host = ChainScorer(scheme, gap_calc_default(), t_genome, q_genome)
+    blocks = np.concatenate([c.blocks for c in chains])
+    expected = np.concatenate([host.score_arrays(c)[0] for c in chains])
+    t8, q8, c_block, m = pack_pairs(t_genome.codes("chrA", "+"),
+                                    q_genome.codes("chrQ1", "-"), blocks)
+    for n_dev in (1, 2, 8):
+        scorer = ShardedPairScorer(np.asarray(scheme.lut), make_mesh(n_dev))
+        cs = scorer.chunk_scores(t8, q8)[:m]
+        got = np.zeros(blocks.shape[0], np.int64)
+        np.add.at(got, c_block, cs.astype(np.int64))
+        assert np.array_equal(got, expected), f"mismatch at n_dev={n_dev}"
