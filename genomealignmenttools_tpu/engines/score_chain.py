@@ -39,13 +39,27 @@ def score_chain_file(
     gap_calc = gap_calc_from_file(linear_gap)
     t_genome = Genome(t_2bit)
     q_genome = Genome(q_2bit)
+    if scorer_factory is None:
+        # device-batched scorer on accelerator backends (bit-identical to
+        # the host path; scores the whole file in one device round trip),
+        # plain host scorer on CPU
+        import jax
+        if jax.default_backend() != "cpu":
+            from ..ops.rescore import DeviceChainScorer
+            scorer_factory = DeviceChainScorer
     factory = scorer_factory or ChainScorer
     scorer = factory(scheme, gap_calc, t_genome, q_genome)
 
+    chains = list(iter_chains(in_chain))
+    if hasattr(scorer, "score_chains"):
+        scored = scorer.score_chains(chains)
+    else:
+        scored = [scorer.global_and_local(c) for c in chains]
+
     out = sys.stdout if out_path == "stdout" else open(out_path, "w")
     try:
-        for chain in iter_chains(in_chain):
-            global_score, local_score, ali_bases = scorer.global_and_local(chain)
+        for chain, (global_score, local_score, ali_bases) in zip(chains,
+                                                                 scored):
             if force_local_score:
                 chain.score = local_score
             else:

@@ -711,6 +711,63 @@ def make_lav_fixtures(env2, KB, t2bit, q2bit):
              mrna_psl, mrna_fa], check=True, stdout=fh, env=env2)
     print("pslMrnaCover goldens written")
 
+    make_example_goldens(env2, KB)
+
+
+def make_example_goldens(env2, KB):
+    """Goldens from the reference's own bundled example data
+    (/root/reference/example): every sequence-free tool, byte-for-byte.
+    The example 2bit genomes are not bundled, so sequence-dependent tools
+    (scoreChain etc.) are covered by the synthetic fixtures instead."""
+    ex = "/root/reference/example"
+    if not os.path.isdir(ex):
+        print("reference example dir missing; skipping example goldens")
+        return
+    chain = os.path.join(ex, "hg38.danRer10.chain")
+    tsz = os.path.join(ex, "hg38.chrom.sizes")
+    qsz = os.path.join(ex, "danRer10.chrom.sizes")
+    exdir = os.path.join(GOLD, "example")
+    os.makedirs(exdir, exist_ok=True)
+
+    def out(name):
+        return os.path.join(exdir, name)
+
+    run([os.path.join(KB, "chainSort"), chain, out("chainSort.chain")])
+    srt = out("chainSort.chain")
+    run([os.path.join(KB, "chainPreNet"), srt, tsz, qsz,
+         out("chainPreNet.chain")])
+    run([os.path.join(REF_BIN, "chainNet"), srt, tsz, qsz,
+         out("chainNet.tnet"), out("chainNet.qnet"), "-minSpace=1"])
+    run([os.path.join(KB, "netSyntenic"), out("chainNet.tnet"),
+         out("netSyntenic.net")])
+    run([os.path.join(KB, "netToBed"), out("chainNet.tnet"),
+         out("netToBed.bed")])
+    with open(out("netFilter.minScore.net"), "w") as fh:
+        subprocess.run([os.path.join(KB, "netFilter"), "-minScore=5000",
+                        out("chainNet.tnet")], check=True, stdout=fh,
+                       env=env2)
+    with open(out("chainFilter.minScore.chain"), "w") as fh:
+        subprocess.run([os.path.join(KB, "chainFilter"), "-minScore=10000",
+                        srt], check=True, stdout=fh, env=env2)
+    run([os.path.join(KB, "chainStitchId"), srt, out("chainStitchId.chain")])
+    run([os.path.join(KB, "chainSwap"), srt, out("chainSwap.chain")])
+    run([os.path.join(KB, "chainToPslBasic"), srt,
+         out("chainToPslBasic.psl")])
+    with open(out("chainOverlap.chain"), "w") as fh:
+        subprocess.run([os.path.join(KB, "chainOverlap"), srt],
+                       check=True, stdout=fh, env=env2)
+    # score filter + keepSyn/keepInv (the flags that trigger type parsing;
+    # the un-netClassed `type X` line-end form is handled by the perl's
+    # `type (\w+)$` fallback)
+    with open(out("NetFilterNonNested.net"), "w") as fh:
+        subprocess.run([os.path.join(REF_BIN, "NetFilterNonNested.perl"),
+                        "-doScoreFilter", "-minScore1", "5000",
+                        "-keepSynNetsWithScore", "5000",
+                        "-keepInvNetsWithScore", "5000",
+                        out("netSyntenic.net")],
+                       check=True, stdout=fh, env=env2)
+    print("reference-example goldens written")
+
 
 if __name__ == "__main__":
     main()
