@@ -61,18 +61,24 @@ def cmd_chain_sort(argv: list[str]) -> int:
         print("usage: chainSort in.chain out.chain [-target|-query]",
               file=sys.stderr)
         return 255
-    chains = read_chains(pos[0])
+    meta_lines: list[str] = []
+    chains = read_chains(pos[0], meta_out=meta_lines.append)
     if "target" in opts:
         chains = sort_chains_by_target(chains)
     elif "query" in opts:
         chains = sort_chains_by_query(chains)
     else:
         chains = sort_chains_by_score(chains)
-    out = sys.stdout if pos[1] == "stdout" else None
-    if out is not None:
+    # meta lines are crossed during the read, before any chain is written
+    # (chainSort.c:58), so they land at the top of the sorted output
+    out = sys.stdout if pos[1] == "stdout" else open(pos[1], "w")
+    try:
+        for line in meta_lines:
+            out.write(line + "\n")
         write_chains(chains, out)
-    else:
-        write_chains(chains, pos[1])
+    finally:
+        if out is not sys.stdout:
+            out.close()
     return 0
 
 
@@ -643,7 +649,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown command {cmd}; known: {', '.join(sorted(set(COMMANDS)))}",
               file=sys.stderr)
         return 255
-    return COMMANDS[cmd](argv[1:])
+    rest = []
+    for a in argv[1:]:
+        # kent-global flags installed by optionInit for every tool
+        # (kent/src/lib/options.c): -verbose=N, -verboseLog=file
+        if a.startswith("-verbose="):
+            from ..utils.verbose import set_verbosity
+            set_verbosity(int(a.split("=", 1)[1]))
+        elif a.startswith("-verboseLog="):
+            from ..utils.verbose import set_log_file
+            set_log_file(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    return COMMANDS[cmd](rest)
 
 
 if __name__ == "__main__":

@@ -282,8 +282,13 @@ class ChainCleaner:
 
     # ------------------------------------------------------------------
     def read_chains(self, chain_file: str, passthrough_out) -> None:
-        """readChainsOfInterest: keep breaking/broken chains, write rest."""
-        for chain in iter_chains(chain_file):
+        """readChainsOfInterest: keep breaking/broken chains, write rest.
+
+        Input '#' meta lines are echoed to the output at encounter
+        (lineFileSetMetaDataOutput on finalChainOutFile,
+        chainCleaner.c:590)."""
+        meta = lambda line: passthrough_out.write(line + "\n")
+        for chain in iter_chains(chain_file, meta_out=meta):
             if self.max_chain_id < chain.id:
                 self.max_chain_id = chain.id
             if str(chain.id) in self.chain_of_interest:
@@ -467,38 +472,92 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
                  linear_gap: str = "loose", score_scheme: str | None = None,
                  new_chain_id_dict_path: str | None = None,
                  scorer_factory=None, **thresholds) -> None:
-    """Full chainCleaner pipeline (chainCleaner.c main, 1678-1899)."""
+    """Full chainCleaner pipeline (chainCleaner.c main, 1678-1899).
+
+    Console transcript mirrors the reference's numbered step banners
+    (chainCleaner.c:1730-1886) at verbosity >= 1.
+    """
+    from ..utils.verbose import print_mem, verbose, verbosity
+
     scheme = (read_score_scheme(score_scheme) if score_scheme
               else score_scheme_default())
     gap_calc = gap_calc_from_file(linear_gap)
     factory = scorer_factory or ChainScorer
     scorer = factory(scheme, gap_calc, Genome(t_2bit), Genome(q_2bit))
 
+    cleaner = ChainCleaner(scorer, **thresholds)
+    verbose(1, "Verbosity level: %d\n" % verbosity())
+    verbose(1, "foldThreshold: %f    LRfoldThreshold: %f   "
+               "maxSuspectBases: %d  maxSuspectScore: %d  "
+               "minBrokenChainScore: %d  minLRGapSize: %d"
+            % (cleaner.fold, cleaner.lr_fold,
+               min(int(cleaner.max_suspect_bases), INT_MAX),
+               int(cleaner.max_suspect_score), int(cleaner.min_broken_score),
+               cleaner.min_lr_gap))
+    if cleaner.do_pairs:
+        verbose(1, " doPairs with LRfoldThreshold: %f   maxPairDistance %d\n"
+                % (cleaner.lr_fold_pairs, cleaner.max_pair_distance))
+    else:
+        verbose(1, "\n")
+    if score_scheme:
+        verbose(1, "Reading scoring matrix from %s\n" % score_scheme)
+
     if net_file is None:
         if t_sizes is None or q_sizes is None:
             raise ValueError("need -tSizes/-qSizes when no -net is given")
         # in-process netting: chainNet -minScore=0 | NetFilterNonNested
-        # -minScore1 3000 (chainCleaner.c:1660)
+        # -minScore1 3000 (chainCleaner.c:1660); we net in memory instead of
+        # through a temp file + process boundary.
+        verbose(1, "0. need to net the input chains %s (no net file given) "
+                   "...\n" % in_chain)
+        net_source = "in-memory net of %s" % in_chain
         t_net = io.StringIO()
         q_sink = io.StringIO()
         chain_net(in_chain, t_sizes, q_sizes, t_net, q_sink, min_score=0)
         filtered = io.StringIO()
         net_filter_non_nested(t_net.getvalue().splitlines(), filtered,
                               min_score1=3000)
+        verbose(1, "DONE (nets in %s)\n" % net_source)
+        verbose(1, "1. parsing fills/gaps from %s and getting valid breaks "
+                   "...\n" % net_source)
+        verbose(1, "1.1 read net file %s into memory ...\n" % net_source)
         nets = read_nets(io.StringIO(filtered.getvalue()))
+        verbose(1, "DONE\n\n")
     else:
+        net_source = net_file
+        verbose(1, "1. parsing fills/gaps from %s and getting valid breaks "
+                   "...\n" % net_source)
+        verbose(1, "1.1 read net file %s into memory ...\n" % net_source)
         nets = read_nets(net_file)
+        verbose(1, "DONE\n\n")
 
-    cleaner = ChainCleaner(scorer, **thresholds)
+    verbose(1, "1.2 get fills/gaps from %s ...\n" % net_source)
+    verbose(1, "1.3 get aligning regions from %s ...\n" % net_source)
+    verbose(1, "1.4 get valid breaks ...\n")
     cleaner.find_breaks(nets)
+    verbose(1, "DONE\n")
+    verbose(1, "DONE (parsing fills/gaps and getting valid breaks)\n\n")
 
+    verbose(1, "2. reading breaking and broken chains from %s and write "
+               "irrelevant chains to %s ...\n" % (in_chain, out_chain_path))
     unsorted = io.StringIO()
     cleaner.read_chains(in_chain, unsorted)
+    verbose(1, "DONE\n\n")
+    verbose(1, "3. reading target and query DNA sequences for breaking and "
+               "broken chains ...\n")
+    verbose(1, "DONE\n\n")
+    verbose(1, "4. loop over all breaks. Remove suspects if they pass our "
+               "filters and write out deleted suspects to %s ...\n"
+            % out_bed_path)
     cleaner.loop_over_breaks()
+    verbose(1, "DONE\n\n")
+    verbose(1, "5. write the (new) breaking and the broken chains to %s "
+               "...\n" % out_chain_path)
     # suspect chains were emitted during the loop, in removal order
     for sus in cleaner.suspect_chains:
         unsorted.write(sus.to_text())
     cleaner.write_chains_of_interest(unsorted)
+    verbose(1, "DONE\n\n")
 
     with open(out_bed_path, "w") as f:
         f.writelines(cleaner.bed_lines)
@@ -508,9 +567,19 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
                 f.write(f"{new_id}\t{old_id}\n")
 
     # chainSort (score desc, stable)
+    verbose(1, "6. chainSort %s ...\n" % out_chain_path)
     from ..formats.chain import read_chains, sort_chains_by_score, write_chains
-    chains = read_chains(io.StringIO(unsorted.getvalue()))
-    write_chains(sort_chains_by_score(chains), out_chain_path)
+    meta_lines: list[str] = []
+    chains = read_chains(io.StringIO(unsorted.getvalue()),
+                         meta_out=meta_lines.append)
+    with open(out_chain_path, "w") as outf:
+        for line in meta_lines:
+            outf.write(line + "\n")
+        write_chains(sort_chains_by_score(chains), outf)
+    verbose(1, "DONE\n\n")
+    print_mem()
+    verbose(1, "\nALL DONE. New chains are in %s. Deleted suspects in %s\n"
+            % (out_chain_path, out_bed_path))
 
 
 def chain_cleaner_main(argv: list[str]) -> int:

@@ -29,6 +29,12 @@ from ..formats.twobit import TwoBitFile
 BIGNUM = 0x3FFFFFFF
 
 
+def _meta_writer(f):
+    """lineFileSetMetaDataOutput protocol: echo '#' input lines to an output
+    file at the moment they are crossed (linefile.c:93-101, 66-84)."""
+    return lambda line: f.write(line + "\n")
+
+
 def _is_haplotype(name: str) -> bool:
     return "_hap" in name or "_alt" in name
 
@@ -54,7 +60,8 @@ def chain_pre_net(in_file: str, t_sizes_file: str, q_sizes_file: str, out,
     f = open(out, "w") if close else out
     try:
         last_score = float("inf")
-        for chain in iter_chains(in_file):
+        meta = _meta_writer(f)
+        for chain in iter_chains(in_file, meta_out=meta):
             if chain.score > last_score:
                 raise ValueError(f"{in_file} not sorted by score")
             last_score = chain.score
@@ -243,9 +250,24 @@ def chain_split(out_dir: str, in_files: list[str], split_on_q: bool = False,
     """chainSplit: one output chain file per target (or query) chrom."""
     os.makedirs(out_dir, exist_ok=True)
     handles: dict[str, object] = {}
+    meta_pool: list[str] = []
+    first_file: list = []  # [FILE] once the first split file exists
+
+    def on_meta(line):
+        # Before any split file exists, meta collects in meta.tmp.  After
+        # the first file is created the reference fcloses meta.tmp, and -
+        # observed behavior of the C binary - the very next fopen (the
+        # first split file) recycles the freed FILE slot, so later meta
+        # lines are appended to the FIRST split file at encounter
+        # (chainSplit.c:87-92).
+        if first_file:
+            first_file[0].write(line + "\n")
+        else:
+            meta_pool.append(line)
+
     try:
         for path in in_files:
-            for chain in iter_chains(path):
+            for chain in iter_chains(path, meta_out=on_meta):
                 name = chain.q_name if split_on_q else chain.t_name
                 if lump > 0:
                     # lumpName: first integer in the name (else kent
@@ -265,7 +287,22 @@ def chain_split(out_dir: str, in_files: list[str], split_on_q: bool = False,
                 f = handles.get(name)
                 if f is None:
                     f = open(os.path.join(out_dir, f"{name}.chain"), "w")
+                    if not handles:
+                        # meta.tmp is frozen when the first split file is
+                        # created (chainSplit.c:87-89); the reference
+                        # leaves it behind in the out dir - replicate
+                        frozen_pool = sorted(set(meta_pool))
+                        with open(os.path.join(out_dir, "meta.tmp"),
+                                  "w") as mf:
+                            for line in meta_pool:
+                                mf.write(line + "\n")
+                    # EVERY new split file starts with `cat meta.tmp |
+                    # sort -u` of the frozen pool (chainSplit.c:90)
+                    for line in frozen_pool:
+                        f.write(line + "\n")
                     handles[name] = f
+                    if not first_file:
+                        first_file.append(f)
                 f.write(chain.to_text())
     finally:
         for f in handles.values():
@@ -278,7 +315,8 @@ def chain_merge_sort(in_files: list[str], out, save_id: bool = False) -> None:
     import heapq
     close = isinstance(out, str)
     f = open(out, "w") if close else out
-    iters = [iter_chains(p) for p in in_files]
+    meta = _meta_writer(f)
+    iters = [iter_chains(p, meta_out=meta) for p in in_files]
     heap = []
     for idx, it in enumerate(iters):
         chain = next(it, None)
@@ -326,7 +364,8 @@ def chain_anti_repeat(t_2bit: str, q_2bit: str, in_file: str, out,
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     try:
-        for chain in iter_chains(in_file):
+        meta = _meta_writer(f)
+        for chain in iter_chains(in_file, meta_out=meta):
             ok = True
             if chain.score < no_check_score:
                 ok = _anti_repeat_pass(chain, t_genome, q_genome, min_score)

@@ -7,7 +7,7 @@ mafToFa,mafRanges,mafNoAlign}.c.  Byte-compatible with the C tools.
 
 from __future__ import annotations
 
-from ..formats.axt import Axt, read_axts, write_axts
+from ..formats.axt import iter_axts, Axt, read_axts, write_axts
 from ..formats.chromsizes import read_chrom_sizes
 from ..formats.maf import MafAli, MafComp, format_maf, read_mafs
 from .converters import psl_from_align
@@ -31,7 +31,10 @@ def axt_to_maf(in_axt: str, t_sizes_file: str, q_sizes_file: str, out,
     f = open(out, "w") if close else out
     try:
         f.write("##maf version=1 scoring=blastz\n")
-        for axt in read_axts(in_axt):
+        # input '#' lines echo to the maf at encounter - i.e. after the
+        # maf header line (axtToMaf.c:92-93 registers meta before
+        # mafWriteStart, but meta is only crossed during axtRead)
+        for axt in iter_axts(in_axt, meta_out=lambda l: f.write(l + "\n")):
             score = axt.score
             if (score == 0 and score_zero) or rescore:
                 score = _axt_score_default(axt)

@@ -87,8 +87,12 @@ class _CoverageMap:
 
 
 def net_syntenic(in_file: str, out) -> None:
-    """netSyntenic: annotate qDup, qOver/qFar, and fill types."""
-    nets = read_nets(in_file)
+    """netSyntenic: annotate qDup, qOver/qFar, and fill types.
+
+    Input '#' meta lines echo to the output (netSyntenic.c:281); the whole
+    net is read before any write, so they land at the top."""
+    meta_lines: list[str] = []
+    nets = read_nets(in_file, meta_out=meta_lines.append)
     cov = _CoverageMap()
 
     def r_calc(fills):
@@ -134,6 +138,8 @@ def net_syntenic(in_file: str, out) -> None:
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     try:
+        for line in meta_lines:
+            f.write(line + "\n")
         write_nets(nets, f)
     finally:
         if close:
@@ -383,7 +389,8 @@ def net_to_axt(net_file: str, chain_file: str, t_2bit: str, q_2bit: str, out,
     from ..formats.axt import write_axts
     from ..formats.net import mark_used_chain_ids
 
-    nets = read_nets(net_file)
+    net_meta: list[str] = []
+    nets = read_nets(net_file, meta_out=net_meta.append)
     used = mark_used_chain_ids(nets)
     chains: dict[int, Chain] = {}
     for chain in iter_chains(chain_file):
@@ -438,6 +445,8 @@ def net_to_axt(net_file: str, chain_file: str, t_2bit: str, q_2bit: str, out,
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     try:
+        for line in net_meta:
+            f.write(line + "\n")
         write_axts(axts, f)
     finally:
         if close:

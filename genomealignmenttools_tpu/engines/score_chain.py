@@ -44,7 +44,11 @@ def score_chain_file(
         # the host path; scores the whole file in one device round trip),
         # plain host scorer on CPU
         import jax
-        if jax.default_backend() != "cpu":
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "cpu"  # backend init failed; host scorer still works
+        if backend != "cpu":
             from ..ops.rescore import DeviceChainScorer
             scorer_factory = DeviceChainScorer
     factory = scorer_factory or ChainScorer

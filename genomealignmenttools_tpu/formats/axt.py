@@ -35,7 +35,10 @@ class Axt:
         return len(self.q_sym)
 
 
-def read_axts(path_or_file, meta_out: list[str] | None = None) -> list[Axt]:
+def iter_axts(path_or_file, meta_out=None):
+    """Streaming axt reader.  meta_out: callable receiving '#' lines at
+    encounter (lineFileSetMetaDataOutput protocol, linefile.c:93-101), or a
+    list to append to."""
     if isinstance(path_or_file, str):
         if path_or_file.endswith(".gz"):
             f = io.TextIOWrapper(gzip.open(path_or_file, "rb"))
@@ -45,31 +48,34 @@ def read_axts(path_or_file, meta_out: list[str] | None = None) -> list[Axt]:
     else:
         f = path_or_file
         close = False
+    emit = (meta_out.append if isinstance(meta_out, list) else meta_out)
     try:
-        out = []
         lines = iter(f)
         for raw in lines:
             line = raw.rstrip("\n")
             if not line.strip():
                 continue
             if line.startswith("#"):
-                if meta_out is not None:
-                    meta_out.append(line)
+                if emit is not None:
+                    emit(line)
                 continue
             w = line.split()
             if len(w) < 9:
                 raise ValueError(f"Bad axt header: {line!r}")
             t_sym = next(lines).rstrip("\n")
             q_sym = next(lines).rstrip("\n")
-            out.append(Axt(
+            yield Axt(
                 q_name=w[4], q_start=int(w[5]) - 1, q_end=int(w[6]),
                 q_strand=w[7], t_name=w[1], t_start=int(w[2]) - 1,
                 t_end=int(w[3]), score=int(w[8]),
-                q_sym=q_sym, t_sym=t_sym))
-        return out
+                q_sym=q_sym, t_sym=t_sym)
     finally:
         if close:
             f.close()
+
+
+def read_axts(path_or_file, meta_out: list[str] | None = None) -> list[Axt]:
+    return list(iter_axts(path_or_file, meta_out=meta_out))
 
 
 def write_axts(axts, path_or_file) -> None:

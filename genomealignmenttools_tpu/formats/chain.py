@@ -279,11 +279,15 @@ def _blocks_from_triples(c: Chain, sizes, dts, dqs) -> np.ndarray:
     return blocks
 
 
-def read_chains(path_or_file) -> list[Chain]:
+def read_chains(path_or_file, meta_out=None) -> list[Chain]:
     """Read all chains from a chain file (optionally .gz).
 
     Uses the native C++ codec (native/chaincodec.cpp) when available;
-    results are identical to the python path."""
+    results are identical to the python path.
+
+    meta_out: optional callable receiving each '#' metadata line (sans
+    newline) in encounter order - the lineFileSetMetaDataOutput protocol
+    (reference kent/src/lib/linefile.c:93-101, 66-84)."""
     if isinstance(path_or_file, str):
         from ..native import chain_io
         try:
@@ -296,6 +300,10 @@ def read_chains(path_or_file) -> list[Chain]:
                     data = fh.read()
             native = chain_io.parse_chain_text(data)
             if native is not None:
+                if meta_out is not None:
+                    for bline in data.split(b"\n"):
+                        if bline.startswith(b"#"):
+                            meta_out(bline.decode())
                 return native
         except OSError:
             pass
@@ -305,13 +313,13 @@ def read_chains(path_or_file) -> list[Chain]:
         f = path_or_file
         close = False
     try:
-        return _read_chains_stream(f)
+        return _read_chains_stream(f, meta_out=meta_out)
     finally:
         if close:
             f.close()
 
 
-def _read_chains_stream(f) -> list[Chain]:
+def _read_chains_stream(f, meta_out=None) -> list[Chain]:
     chains: list[Chain] = []
     cur: Chain | None = None
     sizes: list[int] = []
@@ -331,6 +339,8 @@ def _read_chains_stream(f) -> list[Chain]:
         if not line.strip():
             continue
         if line.startswith("#"):
+            if meta_out is not None:
+                meta_out(line)
             continue
         if line.startswith("chain"):
             finish()
@@ -349,8 +359,13 @@ def _read_chains_stream(f) -> list[Chain]:
     return chains
 
 
-def iter_chains(path_or_file):
-    """Generator over chains (streaming)."""
+def iter_chains(path_or_file, meta_out=None):
+    """Generator over chains (streaming).
+
+    meta_out: optional callable receiving '#' metadata lines at the moment
+    they are crossed - matches lineFileNext's metaDataAdd interleaving
+    (reference linefile.c:520-521), so a tool that streams chains to its
+    output reproduces the reference's meta-line placement exactly."""
     if isinstance(path_or_file, str):
         f = _open_maybe_gz(path_or_file)
         close = True
@@ -363,7 +378,11 @@ def iter_chains(path_or_file):
         next_id = 1
         for raw in f:
             line = raw.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            if not line.strip():
+                continue
+            if line.startswith("#"):
+                if meta_out is not None:
+                    meta_out(line)
                 continue
             if line.startswith("chain"):
                 if cur is not None:
@@ -380,6 +399,14 @@ def iter_chains(path_or_file):
                 if len(w) >= 3:
                     dts.append(int(w[1]))
                     dqs.append(int(w[2]))
+                elif cur is not None:
+                    # 1-field line = final block: chainReadBlocks returns
+                    # here (reference chain.c:298-335), so the chain is
+                    # complete NOW - before any following '#' meta line is
+                    # crossed.  Yield immediately to match that ordering.
+                    cur.blocks = _blocks_from_triples(cur, sizes, dts, dqs)
+                    yield cur
+                    cur = None
         if cur is not None:
             cur.blocks = _blocks_from_triples(cur, sizes, dts, dqs)
             yield cur

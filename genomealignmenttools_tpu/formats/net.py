@@ -98,8 +98,11 @@ def _parse_fill_line(rest: str) -> NetFill:
     return f
 
 
-def read_nets(path_or_file) -> list[Net]:
-    """chainNetRead over the whole file."""
+def read_nets(path_or_file, meta_out=None) -> list[Net]:
+    """chainNetRead over the whole file.
+
+    meta_out: optional callable receiving '#' metadata lines in encounter
+    order (lineFileSetMetaDataOutput protocol, linefile.c:93-101)."""
     if isinstance(path_or_file, str):
         if path_or_file.endswith(".gz"):
             f = io.TextIOWrapper(gzip.open(path_or_file, "rb"))
@@ -116,7 +119,11 @@ def read_nets(path_or_file) -> list[Net]:
         node_stack: list[NetFill] = []
         for raw in f:
             line = raw.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            if not line.strip():
+                continue
+            if line.startswith("#"):
+                if meta_out is not None:
+                    meta_out(line)
                 continue
             if line.startswith("net "):
                 w = line.split()

@@ -769,5 +769,117 @@ def make_example_goldens(env2, KB):
     print("reference-example goldens written")
 
 
+def make_meta_goldens():
+    """Goldens for '#' metadata-line passthrough (lineFileSetMetaDataOutput,
+    linefile.c:93-101): chainSort/chainMergeSort/chainPreNet/chainAntiRepeat/
+    chainSplit/netSyntenic/netToAxt/axtToMaf/chainCleaner each echo input
+    meta lines to their output with tool-specific placement."""
+    env2 = dict(os.environ)
+    env2["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env2["PATH"]
+    KB = KENT_BIN
+    tsz = os.path.join(FIX, "target.chrom.sizes")
+    qsz = os.path.join(FIX, "query.chrom.sizes")
+    t2bit = os.path.join(FIX, "target.2bit")
+    q2bit = os.path.join(FIX, "query.2bit")
+    sorted_chain = os.path.join(FIX, "synthetic.scored.sorted.chain")
+
+    def inject_chain_meta(src, dst, top, after_first_chain, in_blocks=None):
+        """Insert meta lines: `top` before everything, `after_first_chain`
+        after the first chain's final (1-field) block line, `in_blocks`
+        right after the first 3-field block line of the first chain."""
+        lines = open(src).read().splitlines()
+        out = list(top)
+        seen_block = False
+        done_mid = False
+        done_blocks = in_blocks is None
+        for ln in lines:
+            out.append(ln)
+            w = ln.split()
+            if (not done_blocks and len(w) == 3 and not ln.startswith("chain")
+                    and not seen_block):
+                out.extend(in_blocks)
+                seen_block = True
+                done_blocks = True
+            if (not done_mid and len(w) == 1 and w[0].isdigit()
+                    and not ln.startswith("chain")):
+                out.extend(after_first_chain)
+                done_mid = True
+        open(dst, "w").write("\n".join(out) + "\n")
+
+    meta_chain = os.path.join(FIX, "meta.chain")
+    inject_chain_meta(sorted_chain, meta_chain,
+                      top=["# meta top line 1", "## dup meta"],
+                      after_first_chain=["## dup meta", "# meta between chains"],
+                      in_blocks=["# meta inside block list"])
+
+    run([os.path.join(KB, "chainSort"), meta_chain,
+         os.path.join(GOLD, "meta.chainSort.chain")])
+    run([os.path.join(KB, "chainPreNet"), meta_chain, tsz, qsz,
+         os.path.join(GOLD, "meta.chainPreNet.chain")])
+    run([os.path.join(KB, "chainAntiRepeat"), t2bit, q2bit, meta_chain,
+         os.path.join(GOLD, "meta.chainAntiRepeat.chain")])
+
+    split_dir = os.path.join(GOLD, "meta.chainSplit")
+    if os.path.isdir(split_dir):
+        import shutil
+        shutil.rmtree(split_dir)
+    run([os.path.join(KB, "chainSplit"), split_dir, meta_chain])
+
+    # chainMergeSort over two meta-bearing sorted parts
+    part_a = os.path.join(FIX, "meta.mergeA.chain")
+    part_b = os.path.join(FIX, "meta.mergeB.chain")
+    inject_chain_meta(os.path.join(FIX, "mergepart0.chain"), part_a,
+                      top=["# part A meta", "## shared meta"],
+                      after_first_chain=["# part A mid meta"])
+    inject_chain_meta(os.path.join(FIX, "mergepart1.chain"), part_b,
+                      top=["# part B meta", "## shared meta"],
+                      after_first_chain=[])
+    with open(os.path.join(GOLD, "meta.chainMergeSort.chain"), "w") as fh:
+        subprocess.run([os.path.join(KB, "chainMergeSort"), part_a, part_b],
+                       check=True, stdout=fh, env=env2)
+
+    # chainCleaner passes chain-input meta through to the cleaned output
+    prenet = os.path.join(FIX, "cleaner_input.net")
+    run([os.path.join(REF_BIN, "chainCleaner"), meta_chain, t2bit, q2bit,
+         os.path.join(GOLD, "meta.chainCleaner.chain"),
+         os.path.join(GOLD, "meta.chainCleaner.bed"),
+         f"-net={prenet}", "-linearGap=loose"])
+
+    # net meta: netSyntenic + netToAxt echo net-file meta
+    def inject_top_mid(src, dst, top, mid_after_line):
+        lines = open(src).read().splitlines()
+        out = list(top)
+        for i, ln in enumerate(lines):
+            out.append(ln)
+            if i == mid_after_line:
+                out.append("# net mid meta")
+        open(dst, "w").write("\n".join(out) + "\n")
+
+    meta_net = os.path.join(FIX, "meta.net")
+    inject_top_mid(os.path.join(GOLD, "chainNet.target.net"), meta_net,
+                   top=["# net top meta", "## net dup", "## net dup"],
+                   mid_after_line=4)
+    run([os.path.join(KB, "netSyntenic"), meta_net,
+         os.path.join(GOLD, "meta.netSyntenic.net")])
+    run([os.path.join(KB, "netToAxt"), meta_net, sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "meta.netToAxt.axt")])
+
+    # axt meta: axtToMaf echoes axt-file meta after the maf header
+    meta_axt = os.path.join(FIX, "meta.axt")
+    lines = open(os.path.join(GOLD, "chainToAxt.axt")).read().splitlines()
+    blank_seen = 0
+    out = ["# axt top meta", "## axt meta 2"]
+    for ln in lines:
+        out.append(ln)
+        if ln == "" and blank_seen == 0:
+            out.append("# axt mid meta")
+            blank_seen = 1
+    open(meta_axt, "w").write("\n".join(out) + "\n")
+    run([os.path.join(KB, "axtToMaf"), meta_axt, tsz, qsz,
+         os.path.join(GOLD, "meta.axtToMaf.maf")])
+    print("meta-passthrough goldens written")
+
+
 if __name__ == "__main__":
     main()
+    make_meta_goldens()

@@ -78,7 +78,7 @@ def test_chain_split(fixtures_dir, golden_dir, tmp_path):
     out_dir = str(tmp_path / "split")
     chain_tools.chain_split(out_dir, [os.path.join(fixtures_dir, SORTED)])
     golden_split = os.path.join(golden_dir, "chainSplit")
-    golden_names = [n for n in os.listdir(golden_split) if n != "meta.tmp"]
+    golden_names = os.listdir(golden_split)
     assert sorted(os.listdir(out_dir)) == sorted(golden_names)
     for name in golden_names:
         assert (open(os.path.join(out_dir, name)).read()
