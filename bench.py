@@ -41,7 +41,10 @@ def main():
     from genomealignmenttools_tpu.utils.bench_workload import build_workload
 
     work_dir = os.environ.get("GAT_BENCH_DIR", "/tmp/gat_bench")
-    meta = build_workload(work_dir)
+    # chr1-scale workload (~366 Mb aligned): the per-dispatch sync latency
+    # of the host<->TPU link is fixed, so sustained throughput is measured
+    # at the size the tools actually run at (hg38 chr1 chains are this big)
+    meta = build_workload(work_dir, t_size=256_000_000, n_chains=384)
     chains = read_chains(meta["chain"])
     scheme = score_scheme_default()
     gap_calc = gap_calc_default()

@@ -659,9 +659,14 @@ def main(argv: list[str] | None = None) -> int:
         elif a.startswith("-verboseLog="):
             from ..utils.verbose import set_log_file
             set_log_file(a.split("=", 1)[1])
+        elif a.startswith("-profile="):
+            from ..utils.profiling import set_profile_dir
+            set_profile_dir(a.split("=", 1)[1])
         else:
             rest.append(a)
-    return COMMANDS[cmd](rest)
+    from ..utils.profiling import trace
+    with trace():
+        return COMMANDS[cmd](rest)
 
 
 if __name__ == "__main__":

@@ -54,11 +54,14 @@ def score_chain_file(
     factory = scorer_factory or ChainScorer
     scorer = factory(scheme, gap_calc, t_genome, q_genome)
 
-    chains = list(iter_chains(in_chain))
-    if hasattr(scorer, "score_chains"):
-        scored = scorer.score_chains(chains)
-    else:
-        scored = [scorer.global_and_local(c) for c in chains]
+    from ..utils.profiling import phase
+    with phase("read chains"):
+        chains = list(iter_chains(in_chain))
+    with phase("score chains"):
+        if hasattr(scorer, "score_chains"):
+            scored = scorer.score_chains(chains)
+        else:
+            scored = [scorer.global_and_local(c) for c in chains]
 
     out = sys.stdout if out_path == "stdout" else open(out_path, "w")
     try:

@@ -221,25 +221,12 @@ class PairBlockScorer:
 # score bound fits).
 
 
-def _seg_scan(op, flags, vals):
-    """Segmented inclusive scan: `flags` marks segment starts."""
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb != 0, vb, op(va, vb))
-    return jax.lax.associative_scan(comb, (flags, vals))[1]
+_R_COMBINE = 512     # row width for the tiled cumulative passes
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _pair_chain_scores_kernel(t8, q8, packed_lut, bias_gap, seg_start,
-                              first, sample, end_idx):
-    """-> (n_chains, 2) int32 [global, local].
-
-    The running minimum may only see prefixes that exist in the host/C
-    step sequence - post-block (last chunk of a block) and post-gap
-    (C - s at the first chunk of a block) - NOT mid-block chunk prefixes:
-    clamping is not refinement-invariant, so finer sample points would
-    change the local score."""
+@jax.jit
+def _chunk_sums_i32(t8, q8, packed_lut):
+    """(M, CHUNK) uint8 pair tiles -> (M,) int32 chunk scores."""
     t = t8.astype(jnp.int32)
     q = q8.astype(jnp.int32)
     packed = jnp.where(q == 0, packed_lut[0],
@@ -250,19 +237,127 @@ def _pair_chain_scores_kernel(t8, q8, packed_lut, bias_gap, seg_start,
     v = jax.lax.shift_right_logical(packed, jnp.minimum(t, 3) * 8) & 0xFF
     val = v - ((v & 0x80) << 1)
     val = jnp.where((t < 4) & (q < 4), val, 0)
-    s = jnp.sum(val, axis=1, dtype=jnp.int32)            # (M,)
-    delta = s - bias_gap
-    C = _seg_scan(jnp.add, seg_start, delta)
-    pos_inf = jnp.int32(2 ** 31 - 1)
-    neg_inf = jnp.int32(-(2 ** 31) + 1)
-    m = jnp.minimum(jnp.where(sample != 0, C, pos_inf),
-                    jnp.where(first != 0, C - s, pos_inf))
-    runmin = jnp.minimum(_seg_scan(jnp.minimum, seg_start, m), 0)
-    sampled = jnp.where(sample != 0, C - runmin, neg_inf)
-    runmax = _seg_scan(jnp.maximum, seg_start, sampled)
-    glob = C[end_idx]
+    return jnp.sum(val, axis=1, dtype=jnp.int32)
+
+
+# --- staged combine pipeline -------------------------------------------------
+#
+# The per-chain (global, local) combine is prefix-scan shaped.  A flat
+# associative_scan over millions of chunks makes XLA build a log2(M)-deep
+# slice tree whose COMPILE time explodes past ~1M elements, and lax.scan
+# executes each While iteration as a separate dispatch through remote
+# backends - both unusable at chr1 scale.  Instead everything is expressed
+# with natively-lowered cumulative ops (jnp.cumsum / lax.cummin / cummax)
+# over (B, R) tiles plus a tiny cross-row carry, and chain segmentation is
+# encoded arithmetically:
+#
+# - segmented cumsum:   global cumsum, then subtract each chain's start
+#                       prefix (one small gather + one expand gather)
+# - segmented cummin:   add -chain_id * 2^33 (int64): later chains dominate
+#                       the running min, so the global cummin never leaks
+#                       across chains; undo the offset afterwards
+# - segmented cummax:   symmetric, +chain_id * 2^33
+#
+# Int64 math needs jax_enable_x64, which is process-global state - the
+# stages are traced AND called inside jax.experimental.enable_x64() so the
+# rest of the process keeps default int32 semantics.
+#
+# The staged functions are separate jits on purpose: fusing the pad/reshape
+# producers into a cumulative op also triggers the pathological compile.
+# Dispatches pipeline asynchronously, so the extra hops cost ~0 wall-clock;
+# only `finish` fetches (n_chains, 2).
+
+_INC = np.int64(1) << 33   # > 2x the |score| bound of any chain prefix
+_BIG = np.int64(1) << 62
+
+
+def _combine_pad(x, fill):
+    """(M,) -> (B, R) with static padding."""
+    n = x.shape[0]
+    b = (n + _R_COMBINE - 1) // _R_COMBINE
+    pad = b * _R_COMBINE - n
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, fill, x.dtype)])
+    return x.reshape(b, _R_COMBINE)
+
+
+@jax.jit
+def _stage_delta(s, bias):
+    return _combine_pad((s - bias).astype(jnp.int64), 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _stage_cumsum(dp, n):
+    w = jnp.cumsum(dp, axis=1)
+    agg = w[:, -1]
+    rp = jnp.cumsum(agg) - agg          # exclusive row prefix
+    return (w + rp[:, None]).reshape(-1)[:n]
+
+
+@jax.jit
+def _stage_seg_base(g, start_idx, chain_of):
+    base = jnp.where(start_idx > 0, g[jnp.maximum(start_idx - 1, 0)], 0)
+    return g - base[chain_of]
+
+
+@jax.jit
+def _stage_m(c, s, first, sample, chain_of64):
+    # the running minimum may only see prefixes that exist in the host/C
+    # step sequence - post-block (sample) and post-gap (C - s at block
+    # starts) - NOT mid-block chunk prefixes: clamping is not
+    # refinement-invariant
+    m = jnp.minimum(jnp.where(sample != 0, c, _BIG),
+                    jnp.where(first != 0, c - s, _BIG))
+    return _combine_pad(m - chain_of64 * _INC, _BIG)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _stage_cummin(vp, n):
+    w = jax.lax.cummin(vp, axis=1)
+    agg = w[:, -1]
+    rp = jax.lax.cummin(agg)
+    rp = jnp.concatenate([jnp.full(1, _BIG, rp.dtype), rp[:-1]])
+    return jnp.minimum(w, rp[:, None]).reshape(-1)[:n]
+
+
+@jax.jit
+def _stage_sampled(wmin, c, chain_of64, sample):
+    runmin = jnp.minimum(wmin + chain_of64 * _INC, 0)
+    sv = jnp.where(sample != 0, c - runmin, -_BIG) + chain_of64 * _INC
+    return _combine_pad(sv, -_BIG)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _stage_cummax(vp, n):
+    w = jax.lax.cummax(vp, axis=1)
+    agg = w[:, -1]
+    rp = jax.lax.cummax(agg)
+    rp = jnp.concatenate([jnp.full(1, -_BIG, rp.dtype), rp[:-1]])
+    return jnp.maximum(w, rp[:, None]).reshape(-1)[:n]
+
+
+@jax.jit
+def _stage_finish(wmax, c, chain_of64, end_idx):
+    runmax = wmax - chain_of64 * _INC
+    glob = c[end_idx]
     loc = jnp.maximum(runmax[end_idx], 0)
     return jnp.stack([glob, loc], axis=1)
+
+
+def _pair_chain_scores(t8, q8, packed_lut, bias, first, sample,
+                       chain_of, start_idx, end_idx):
+    """-> (n_chains, 2) int64 [global, local]; one host<->device sync."""
+    n = t8.shape[0]
+    with jax.enable_x64(True):
+        s = _chunk_sums_i32(t8, q8, packed_lut)
+        g = _stage_cumsum(_stage_delta(s, bias), n)
+        chain_of64 = chain_of.astype(jnp.int64)
+        c = _stage_seg_base(g, start_idx, chain_of)
+        vp = _stage_m(c, s.astype(jnp.int64), first, sample, chain_of64)
+        wmin = _stage_cummin(vp, n)
+        sp = _stage_sampled(wmin, c, chain_of64, sample)
+        wmax = _stage_cummax(sp, n)
+        return _stage_finish(wmax, c, chain_of64, end_idx)
 
 
 class PairChainScorer:
@@ -314,18 +409,19 @@ class PairChainScorer:
         is_last[:-1] = c_block[1:] != c_block[:-1]
         sample[np.flatnonzero(is_last)] = 1
         bias[first_idx] = gc_all[c_block[first_idx]]
-        seg = np.zeros(m_pad, np.int32)
         chain_of_chunk = chain_of_block[c_block]
         seg_new = np.ones(m, bool)
         seg_new[1:] = chain_of_chunk[1:] != chain_of_chunk[:-1]
-        seg[np.flatnonzero(seg_new)] = 1
-        if m < m_pad:
-            seg[m] = 1  # padding is its own segment
-        # chain end = last chunk of each chain
+        starts = np.flatnonzero(seg_new)
+        # chain start/end chunk per chain
+        start_idx = starts.astype(np.int32)
         end_idx = np.zeros(len(chain_nblocks), np.int32)
-        ends = np.flatnonzero(seg_new)
-        end_idx[:-1] = ends[1:] - 1
+        end_idx[:-1] = starts[1:] - 1
         end_idx[-1] = m - 1
+        # padding chunks continue the last chain (code-4 tiles score 0 and
+        # are never block-firsts nor sample points, so they are inert)
+        chain_of = np.full(m_pad, len(chain_nblocks) - 1, np.int32)
+        chain_of[:m] = chain_of_chunk
         ali = np.zeros(len(chain_nblocks), np.int64)
         np.add.at(ali, chain_of_block,
                   (all_blocks[:, 1] - all_blocks[:, 0]).astype(np.int64))
@@ -334,8 +430,9 @@ class PairChainScorer:
         if bound.max(initial=0) >= 2 ** 31:
             raise OverflowError("chain score bound exceeds int32; "
                                 "use the host combine path")
-        meta = (dev_t8, dev_q8, jnp.asarray(bias), jnp.asarray(seg),
+        meta = (dev_t8, dev_q8, jnp.asarray(bias),
                 jnp.asarray(first_chunk), jnp.asarray(sample),
+                jnp.asarray(chain_of), jnp.asarray(start_idx),
                 jnp.asarray(end_idx), ali)
         if len(self._meta_cache) > 8:
             self._meta_cache.clear()
@@ -343,11 +440,11 @@ class PairChainScorer:
         return meta
 
     def score(self, jobs, chain_nblocks: list[int]):
-        """[(global, local, ali)] per chain, one device round trip."""
-        (dev_t8, dev_q8, bias, seg, first, sample, end_idx, ali) = \
-            self._meta(jobs, chain_nblocks)
-        out = np.asarray(_pair_chain_scores_kernel(
-            dev_t8, dev_q8, self.pair.packed_lut, bias, seg, first,
-            sample, end_idx))
+        """[(global, local, ali)] per chain, one device sync."""
+        (dev_t8, dev_q8, bias, first, sample, chain_of, start_idx,
+         end_idx, ali) = self._meta(jobs, chain_nblocks)
+        out = np.asarray(_pair_chain_scores(
+            dev_t8, dev_q8, self.pair.packed_lut, bias, first, sample,
+            chain_of, start_idx, end_idx))
         return [(float(out[i, 0]), float(out[i, 1]), int(ali[i]))
                 for i in range(len(chain_nblocks))]

@@ -14,6 +14,10 @@ import numpy as np
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in ((65, 84), (67, 71)):
+    _COMP_LUT[_a], _COMP_LUT[_b] = _b, _a
+
 
 def build_workload(out_dir: str, t_size: int = 64_000_000,
                    n_chains: int = 96, blocks_per_chain: int = 8000,
@@ -24,7 +28,7 @@ def build_workload(out_dir: str, t_size: int = 64_000_000,
     chain_path = os.path.join(out_dir, "bench.chain")
     t2bit = os.path.join(out_dir, "t.2bit")
     q2bit = os.path.join(out_dir, "q.2bit")
-    key = f"{t_size},{n_chains},{blocks_per_chain},{block_len},{seed},v2"
+    key = f"{t_size},{n_chains},{blocks_per_chain},{block_len},{seed},v3"
     if os.path.exists(meta_path) and open(meta_path).read().split("\n")[0] == key:
         ali = int(open(meta_path).read().split("\n")[1])
         return {"chain": chain_path, "t2bit": t2bit, "q2bit": q2bit,
@@ -34,9 +38,11 @@ def build_workload(out_dir: str, t_size: int = 64_000_000,
     from ..formats.twobit import write_twobit
 
     rng = np.random.default_rng(seed)
-    t_seq = BASES[rng.integers(0, 4, t_size)]
+    # 2 random bits per base via raw bytes (5-10x faster than rng.integers
+    # at chr1 scale)
+    t_seq = BASES[np.frombuffer(rng.bytes(t_size), np.uint8) & 3]
     q_size = t_size
-    q_seq = BASES[rng.integers(0, 4, q_size)]
+    q_seq = BASES[np.frombuffer(rng.bytes(q_size), np.uint8) & 3].copy()
 
     # each chain: colinear run of blocks with small gaps; query side copied
     # from target with ~8% divergence
@@ -65,21 +71,23 @@ def build_workload(out_dir: str, t_size: int = 64_000_000,
         strand = "+" if ci % 3 else "-"
         aligned += int(sizes.sum())
         # plant homology: copy target block content into query (plus strand
-        # coords), mutating ~8%
-        for (ts, te, qs, qe) in blocks:
-            frag = t_seq[ts:te].copy()
-            mut = rng.random(te - ts) < 0.08
-            nmut = int(mut.sum())
-            if nmut:
-                frag[mut] = BASES[rng.integers(0, 4, nmut)]
-            if strand == "+":
-                q_seq[qs:qe] = frag
-            else:
-                comp = frag.copy()
-                for a, b in ((65, 84), (67, 71)):
-                    ia, ib = frag == a, frag == b
-                    comp[ia], comp[ib] = b, a
-                q_seq[q_size - qe:q_size - qs] = comp[::-1]
+        # coords), mutating ~8% - fully vectorized over the chain's blocks
+        bsizes = (blocks[:, 1] - blocks[:, 0])
+        total = int(bsizes.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(bsizes) - bsizes, bsizes)
+        idx_t = np.repeat(blocks[:, 0], bsizes) + within
+        frag = t_seq[idx_t]
+        mut = np.frombuffer(rng.bytes(total), np.uint8) < 20  # ~8%
+        nmut = int(mut.sum())
+        if nmut:
+            frag[mut] = BASES[np.frombuffer(rng.bytes(nmut), np.uint8) & 3]
+        if strand == "+":
+            q_seq[np.repeat(blocks[:, 2], bsizes) + within] = frag
+        else:
+            # query char at q_size-1-(qs+within) = complement(frag)
+            idx_q = q_size - 1 - (np.repeat(blocks[:, 2], bsizes) + within)
+            q_seq[idx_q] = _COMP_LUT[frag]
         chains.append(Chain(
             score=1.0, t_name="chrT", t_size=t_size,
             t_start=int(blocks[0, 0]), t_end=int(blocks[-1, 1]),
