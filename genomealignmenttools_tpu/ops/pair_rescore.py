@@ -122,10 +122,12 @@ class PairBlockScorer:
     block_scores_multi scores several (t,q,strand,blocks) jobs in one
     device round trip; block_scores is the single-job convenience."""
 
-    def __init__(self, lut: np.ndarray, t_genome, q_genome):
+    def __init__(self, lut: np.ndarray, t_genome, q_genome,
+                 tile_sharding=None):
         self.packed_lut = jnp.asarray(pack_lut(lut))
         self.t_genome = t_genome
         self.q_genome = q_genome
+        self.tile_sharding = tile_sharding  # NamedSharding for multi-chip
         self._pack_cache: dict[tuple, tuple] = {}
 
     def _pack_multi(self, jobs):
@@ -161,8 +163,12 @@ class PairBlockScorer:
             row += k
         c_block_all = np.concatenate(c_blocks) if c_blocks \
             else np.zeros(0, np.int64)
-        packed = (jnp.asarray(t8), jnp.asarray(q8), c_block_all, m,
-                  block_base)
+        if self.tile_sharding is not None:
+            dev_t8 = jax.device_put(t8, self.tile_sharding)
+            dev_q8 = jax.device_put(q8, self.tile_sharding)
+        else:
+            dev_t8, dev_q8 = jnp.asarray(t8), jnp.asarray(q8)
+        packed = (dev_t8, dev_q8, c_block_all, m, block_base)
         if len(self._pack_cache) > 16:
             self._pack_cache.clear()
         self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
@@ -366,9 +372,11 @@ class PairChainScorer:
     Built on top of a PairBlockScorer's tile packing; adds the per-chunk
     scan metadata (gap biases, segment flags, sample mask, chain ends)."""
 
-    def __init__(self, pair_scorer: PairBlockScorer, gap_calc):
+    def __init__(self, pair_scorer: PairBlockScorer, gap_calc,
+                 meta_sharding=None):
         self.pair = pair_scorer
         self.gap_calc = gap_calc
+        self.meta_sharding = meta_sharding  # shard (m_pad,) meta arrays
         self._meta_cache: dict[tuple, tuple] = {}
 
     def _meta(self, jobs, chain_nblocks: list[int]):
@@ -430,9 +438,12 @@ class PairChainScorer:
         if bound.max(initial=0) >= 2 ** 31:
             raise OverflowError("chain score bound exceeds int32; "
                                 "use the host combine path")
-        meta = (dev_t8, dev_q8, jnp.asarray(bias),
-                jnp.asarray(first_chunk), jnp.asarray(sample),
-                jnp.asarray(chain_of), jnp.asarray(start_idx),
+        if self.meta_sharding is not None:
+            put = lambda x: jax.device_put(x, self.meta_sharding)
+        else:
+            put = jnp.asarray
+        meta = (dev_t8, dev_q8, put(bias), put(first_chunk), put(sample),
+                put(chain_of), jnp.asarray(start_idx),
                 jnp.asarray(end_idx), ali)
         if len(self._meta_cache) > 8:
             self._meta_cache.clear()

@@ -153,3 +153,42 @@ class ShardedPairScorer:
             jax.device_put(jnp.asarray(q8), sharding),
             self.packed_lut, self.mesh)
         return np.asarray(out)
+
+
+class ShardedChainScorer:
+    """Multi-chip whole-workload (global, local, ali) chain scoring.
+
+    The data-parallel decomposition of the rescore path (SURVEY §2.4 /
+    §5.8): dense pair tiles are row-sharded over the mesh's data axis
+    (jax.device_put with a ("data",) NamedSharding), the chunk-sum kernel
+    partitions with zero communication, and the staged combine
+    (ops/pair_rescore._pair_chain_scores) runs under GSPMD, which inserts
+    the (tiny: the row-aggregate carries and final per-chain gathers)
+    collectives automatically.  Only (n_chains, 2) is fetched.
+
+    Results are bit-identical to the single-chip and host paths for any
+    device count - chain order is input order, so every downstream byte
+    is topology-invariant.
+    """
+
+    def __init__(self, scheme, gap_calc, t_genome, q_genome,
+                 mesh: Mesh | None = None):
+        from ..ops.pair_rescore import PairBlockScorer, PairChainScorer
+        self.scheme = scheme
+        self.gap_calc = gap_calc
+        self.mesh = mesh if mesh is not None else make_mesh()
+        tile_sharding = NamedSharding(self.mesh, P("data", None))
+        meta_sharding = NamedSharding(self.mesh, P("data"))
+        self._dev = PairBlockScorer(np.asarray(scheme.lut), t_genome,
+                                    q_genome, tile_sharding=tile_sharding)
+        self._pcs = PairChainScorer(self._dev, gap_calc,
+                                    meta_sharding=meta_sharding)
+
+    def score_chains(self, chains: list) -> list[tuple[float, float, int]]:
+        from ..ops.rescore import DeviceChainScorer
+        jobs, order = DeviceChainScorer._grouped(self, chains)
+        scored = self._pcs.score(jobs, [chains[i].n_blocks for i in order])
+        results: list = [None] * len(chains)
+        for k, i in enumerate(order):
+            results[i] = scored[k]
+        return results

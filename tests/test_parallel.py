@@ -58,3 +58,21 @@ def test_sharded_pair_scores_match_host(fixtures_dir):
         got = np.zeros(blocks.shape[0], np.int64)
         np.add.at(got, c_block, cs.astype(np.int64))
         assert np.array_equal(got, expected), f"mismatch at n_dev={n_dev}"
+
+
+def test_sharded_chain_scorer_matches_host(fixtures_dir):
+    """Full (global, local, ali) per chain, tiles sharded over the mesh:
+    bit-identical to the host scorer at every device count."""
+    from genomealignmenttools_tpu.parallel.mesh import ShardedChainScorer
+    scheme = score_scheme_default()
+    gc = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = read_chains(os.path.join(fixtures_dir, "synthetic.chain"))
+    host = ChainScorer(scheme, gc, t_genome, q_genome)
+    want = [host.global_and_local(c) for c in chains]
+    for n_dev in (1, 2, 8):
+        scorer = ShardedChainScorer(scheme, gc, t_genome, q_genome,
+                                    make_mesh(n_dev))
+        got = scorer.score_chains(chains)
+        assert got == want, f"mismatch at n_dev={n_dev}"
