@@ -32,6 +32,13 @@ for i, ch in enumerate(b"tcag"):
     _CHAR_TO_CODE[ch - 32] = i  # uppercase
 
 
+# 256-entry byte -> 4-code decode table (top bits first, twoBit.c:786)
+_DECODE_LUT = np.empty((256, 4), np.uint8)
+for _b in range(256):
+    for _i in range(4):
+        _DECODE_LUT[_b, _i] = (_b >> (6 - 2 * _i)) & 3
+
+
 @dataclass
 class TwoBitSeq:
     name: str
@@ -44,17 +51,33 @@ class TwoBitSeq:
         """Decode to uint8 codes 0..4 (4 = N) over [start, end)."""
         if end is None:
             end = self.size
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+            import os
+            out = np.empty(end - start, np.uint8)
+            nb = np.ascontiguousarray(self.n_blocks, np.int64)
+            packed = np.ascontiguousarray(self.packed)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            ns = nb[:, 0] if nb.size else np.zeros(0, np.int64)
+            ne = np.ascontiguousarray(nb[:, 1]) if nb.size \
+                else np.zeros(0, np.int64)
+            ns = np.ascontiguousarray(ns)
+            lib.gat_twobit_decode(
+                packed.ctypes.data_as(u8p), start, end,
+                ns.ctypes.data_as(i64p), ne.ctypes.data_as(i64p),
+                nb.shape[0], out.ctypes.data_as(u8p),
+                min(os.cpu_count() or 1, 8))
+            return out
         # decode whole bytes spanning the range, then trim
         byte_lo = start // 4
         byte_hi = (end + 3) // 4
         chunk = self.packed[byte_lo:byte_hi]
-        # expand: 4 bases per byte, first base in top bits
-        expanded = np.empty(chunk.shape[0] * 4, dtype=np.uint8)
-        expanded[0::4] = (chunk >> 6) & 3
-        expanded[1::4] = (chunk >> 4) & 3
-        expanded[2::4] = (chunk >> 2) & 3
-        expanded[3::4] = chunk & 3
-        out = expanded[start - byte_lo * 4: end - byte_lo * 4].copy()
+        # expand via a 256 -> 4-byte LUT (one gather, contiguous writes)
+        out4 = _DECODE_LUT[chunk].reshape(-1)
+        out = out4[start - byte_lo * 4: end - byte_lo * 4].copy()
         # overlay N blocks
         for s, e in self.n_blocks:
             s2, e2 = max(int(s), start), min(int(e), end)

@@ -14,7 +14,8 @@ import subprocess
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libgatnative.so")
 _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
-         os.path.join(_DIR, "pairpack.cpp")]
+         os.path.join(_DIR, "pairpack.cpp"),
+         os.path.join(_DIR, "twobitdec.cpp")]
 
 _lib = None
 _tried = False
@@ -101,6 +102,18 @@ def get_lib():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.gat_twobit_decode.restype = None
+    lib.gat_twobit_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.gat_expand_blocks.restype = None
+    lib.gat_expand_blocks.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
     ]
     _lib = lib
     return _lib

@@ -1,0 +1,101 @@
+// Native 2bit decode: packed 2-bit bases -> uint8 codes (0..4) with
+// N-block overlay, plus soft-mask bit expansion.
+//
+// Mirrors the reference decode semantics (kent/src/lib/twoBit.c:725-870:
+// first base of each byte in the top two bits, `(byte >> (6-2*i)) & 3`;
+// N blocks overlaid after expansion).  A 256-entry -> 4-byte lookup table
+// decodes 4 bases per input byte; multithreaded over slices.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Lut4 {
+    uint8_t v[256][4];
+    Lut4() {
+        for (int b = 0; b < 256; ++b)
+            for (int i = 0; i < 4; ++i)
+                v[b][i] = (uint8_t)((b >> (6 - 2 * i)) & 3);
+    }
+};
+const Lut4 kLut;
+
+void decode_span(const uint8_t* packed, int64_t byte_lo, int64_t byte_hi,
+                 uint8_t* out4 /* at byte_lo*4 */) {
+    for (int64_t b = byte_lo; b < byte_hi; ++b)
+        std::memcpy(out4 + (b - byte_lo) * 4, kLut.v[packed[b]], 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode bases [start, end) of a packed sequence into out (uint8, codes
+// 0..3); N blocks ([n_starts[i], n_ends[i])) are overlaid as code 4.
+// `packed` points at the sequence's packed data (byte 0 = bases 0..3).
+void gat_twobit_decode(const uint8_t* packed, int64_t start, int64_t end,
+                       const int64_t* n_starts, const int64_t* n_ends,
+                       int64_t n_blocks, uint8_t* out, int n_threads) {
+    if (end <= start) return;
+    const int64_t n = end - start;
+    // decode whole bytes covering [start, end) into a 4-aligned frame
+    const int64_t byte_lo = start >> 2;
+    const int64_t byte_hi = (end + 3) >> 2;
+    const int64_t head = start - byte_lo * 4;  // bases to skip in 1st byte
+
+    auto run = [&](int64_t blo, int64_t bhi) {
+        // decode bytes [blo, bhi) directly into out where fully interior,
+        // with small bounce buffers at the edges
+        for (int64_t b = blo; b < bhi; ++b) {
+            const uint8_t* four = kLut.v[packed[b]];
+            int64_t base0 = b * 4 - start;  // position of byte's 1st base
+            if (base0 >= 0 && base0 + 4 <= n) {
+                std::memcpy(out + base0, four, 4);
+            } else {
+                for (int i = 0; i < 4; ++i) {
+                    int64_t p = base0 + i;
+                    if (p >= 0 && p < n) out[p] = four[i];
+                }
+            }
+        }
+    };
+    (void)head;
+    int nt = n_threads > 0 ? n_threads : 1;
+    const int64_t total_bytes = byte_hi - byte_lo;
+    if (nt <= 1 || total_bytes < (1 << 16)) {
+        run(byte_lo, byte_hi);
+    } else {
+        std::vector<std::thread> ths;
+        const int64_t per = (total_bytes + nt - 1) / nt;
+        for (int t = 0; t < nt; ++t) {
+            int64_t blo = byte_lo + t * per;
+            int64_t bhi = blo + per < byte_hi ? blo + per : byte_hi;
+            if (blo >= bhi) break;
+            ths.emplace_back(run, blo, bhi);
+        }
+        for (auto& th : ths) th.join();
+    }
+    // overlay N blocks
+    for (int64_t i = 0; i < n_blocks; ++i) {
+        int64_t s = n_starts[i] > start ? n_starts[i] : start;
+        int64_t e = n_ends[i] < end ? n_ends[i] : end;
+        if (s < e) std::memset(out + (s - start), 4, (size_t)(e - s));
+    }
+}
+
+// Expand [start, end) of block-run pairs into a bool (uint8) mask array.
+void gat_expand_blocks(int64_t start, int64_t end, const int64_t* b_starts,
+                       const int64_t* b_ends, int64_t n_blocks,
+                       uint8_t* out) {
+    std::memset(out, 0, (size_t)(end - start));
+    for (int64_t i = 0; i < n_blocks; ++i) {
+        int64_t s = b_starts[i] > start ? b_starts[i] : start;
+        int64_t e = b_ends[i] < end ? b_ends[i] : end;
+        if (s < e) std::memset(out + (s - start), 1, (size_t)(e - s));
+    }
+}
+
+}  // extern "C"

@@ -138,3 +138,31 @@ def test_pack_sequence_runs():
     packed, nb, mb = pack_sequence(b"ACGTnnNNacgt")
     assert nb.tolist() == [[4, 8]]
     assert mb.tolist() == [[4, 6], [8, 12]]
+
+
+def test_twobit_native_decode_matches_python(fixtures_dir):
+    """native/twobitdec.cpp vs the pure-python LUT decode, random spans."""
+    import numpy as np
+    from genomealignmenttools_tpu.formats.twobit import TwoBitFile
+    from genomealignmenttools_tpu.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    tbf = TwoBitFile(os.path.join(fixtures_dir, "target.2bit"))
+    rng = np.random.default_rng(3)
+    for name in tbf.seq_names():
+        seq = tbf.read_seq(name)
+        import genomealignmenttools_tpu.formats.twobit as tb
+        byte_lo_lut = tb._DECODE_LUT
+        for _ in range(8):
+            a, b = sorted(rng.integers(0, seq.size, 2).tolist())
+            if a == b:
+                b = min(a + 1, seq.size)
+            native = seq.codes(a, b)
+            chunk = seq.packed[a // 4:(b + 3) // 4]
+            py = byte_lo_lut[chunk].reshape(-1)[a - (a // 4) * 4:][:b - a].copy()
+            for s, e in seq.n_blocks:
+                s2, e2 = max(int(s), a), min(int(e), b)
+                if s2 < e2:
+                    py[s2 - a:e2 - a] = 4
+            assert np.array_equal(native, py), (name, a, b)
