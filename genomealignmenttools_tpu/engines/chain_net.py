@@ -316,12 +316,25 @@ class Netter:
         inter = np.minimum(b[:, 1], end) - np.maximum(b[:, 0], start)
         sub_size = int(np.maximum(inter, 0).sum())
         if rescorer is not None:
-            sub = chain.subset_on_t(start, end)
-            score = rescorer(sub)
+            score = rescorer(chain, start, end)
             if score <= 0:
                 score = 1.0
             return sub_size, score
         return sub_size, chain.score * sub_size / full_size
+
+    def iter_fills(self, is_q: bool):
+        """All fills on one side, output order (for batched rescoring)."""
+        def walk(fill):
+            yield fill
+            for gap in fill.gaps:
+                for sub in gap.fills:
+                    yield from walk(sub)
+        chroms = self.q_chroms if is_q else self.t_chroms
+        for chrom in chroms.values():
+            if not chrom.has_data():
+                continue
+            for fill in chrom.root.fills:
+                yield from walk(fill)
 
     def output_side(self, out, is_q: bool, rescorer=None) -> None:
         chroms = self.q_chroms if is_q else self.t_chroms
@@ -374,11 +387,20 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
         scheme = (read_score_scheme(score_scheme) if score_scheme
                   else score_scheme_default())
         gap_calc = gap_calc_from_file(linear_gap)
+        if scorer_factory is None:
+            import jax
+            try:
+                backend = jax.default_backend()
+            except RuntimeError:
+                backend = "cpu"
+            if backend != "cpu":
+                from ..ops.rescore import DeviceChainScorer
+                scorer_factory = DeviceChainScorer
         factory = scorer_factory or ChainScorer
         scorer = factory(scheme, gap_calc, Genome(t_2bit), Genome(q_2bit))
 
-        def rescorer(sub_chain: Chain) -> float:
-            return scorer.global_score(sub_chain)
+        def rescorer(chain: Chain, start: int, end: int) -> float:
+            return scorer.global_score(chain.subset_on_t(start, end))
     else:
         rescorer = None
 
@@ -395,6 +417,31 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
             break
         netter.add_chain(chain)
     netter.finish()
+    if rescorer is not None and hasattr(scorer, "score_chains"):
+        # exact sub-net rescoring, fully batched: every fill's target-side
+        # sub-chain is cut on host and the whole set is scored in one
+        # device round trip (the -rescore hook, chainNet.c:832-835, is
+        # per-fill sequential in the reference)
+        jobs: list[Chain] = []
+        keys: list[tuple[int, int, int]] = []
+        for fill in netter.iter_fills(is_q=False):
+            chain = fill.chain
+            if fill.start <= chain.t_start and fill.end >= chain.t_end:
+                continue  # full cover: chain.score is used directly
+            sub = chain.subset_on_t(fill.start, fill.end)
+            if sub is None:
+                continue
+            jobs.append(sub)
+            keys.append((id(chain), fill.start, fill.end))
+        scored = scorer.score_chains(jobs)
+        by_key = {k: s_[0] for k, s_ in zip(keys, scored)}
+
+        def rescorer(chain: Chain, start: int, end: int,
+                     _by_key=by_key) -> float:
+            hit = _by_key.get((id(chain), start, end))
+            if hit is not None:
+                return hit
+            return scorer.global_score(chain.subset_on_t(start, end))
     netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
     netter.output_side(q_net_out, is_q=True, rescorer=None)
 

@@ -39,3 +39,16 @@ def test_net_read_write_roundtrip(golden_dir, tmp_path):
     out = io.StringIO()
     write_nets(nets, out)
     assert out.getvalue() == open(src).read()
+
+
+def test_chain_net_rescore_batched_device(fixtures_dir, golden_dir):
+    """-rescore through the batched device scorer (one round trip for all
+    sub-chains): byte-identical to the sequential host path."""
+    from genomealignmenttools_tpu.ops.rescore import DeviceChainScorer
+    t, q = _run(
+        fixtures_dir, rescore=True,
+        t_2bit=os.path.join(fixtures_dir, "target.2bit"),
+        q_2bit=os.path.join(fixtures_dir, "query.2bit"),
+        linear_gap="loose", scorer_factory=DeviceChainScorer)
+    assert t == open(os.path.join(golden_dir, "chainNetRescore.target.net")).read()
+    assert q == open(os.path.join(golden_dir, "chainNetRescore.query.net")).read()
