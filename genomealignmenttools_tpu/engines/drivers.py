@@ -262,7 +262,8 @@ def filter_chains_net_filter_nets(
         min_scores: list[int], min_t_sizes: list[int],
         min_q_sizes: list[int],
         keep_syn_nets_with_score: int = INT_MAX,
-        keep_inv_nets_with_score: int = INT_MAX) -> None:
+        keep_inv_nets_with_score: int = INT_MAX,
+        work_dir: str | None = None) -> None:
     """FilterChains_Net_FilterNets.perl, in-process.
 
     chainFilter per (score, tSize, qSize) set (each excluding chrM) ->
@@ -270,9 +271,20 @@ def filter_chains_net_filter_nets(
     chainPreNet -> chainNet -minSpace=1 -rescore -> netSyntenic ->
     NetFilterNonNested (batch mode + syn/inv rescue).  netClass is not run
     (needs a UCSC database; the reference ships it off-host too).
+
+    work_dir: when set, every stage checkpoints its output there and an
+    interrupted run resumes at the first incomplete stage
+    (utils/pipeline.py; the reference's restartability contract, SURVEY
+    §5.4).
     """
     if not (len(min_scores) == len(min_t_sizes) == len(min_q_sizes)):
         raise ValueError("minScores/minTsizes/minQsizes length mismatch")
+    if work_dir is not None:
+        return _filter_chains_pipeline_checkpointed(
+            in_chain, in_net, out_filtered_chain, out_filtered_net,
+            t_2bit, q_2bit, t_sizes_file, q_sizes_file,
+            min_scores, min_t_sizes, min_q_sizes,
+            keep_syn_nets_with_score, keep_inv_nets_with_score, work_dir)
 
     filtered = io.StringIO()
     for ms, mt, mq in zip(min_scores, min_t_sizes, min_q_sizes):
@@ -312,3 +324,60 @@ def filter_chains_net_filter_nets(
     finally:
         if close:
             f.close()
+
+
+def _filter_chains_pipeline_checkpointed(
+        in_chain, in_net, out_filtered_chain, out_filtered_net,
+        t_2bit, q_2bit, t_sizes_file, q_sizes_file,
+        min_scores, min_t_sizes, min_q_sizes,
+        keep_syn, keep_inv, work_dir) -> None:
+    """Stage-checkpointed variant (resume-able; see utils/pipeline.py)."""
+    from ..utils.pipeline import Pipeline
+    if not isinstance(out_filtered_net, str):
+        raise ValueError("work_dir mode requires a path for the output net")
+    pl = Pipeline(work_dir)
+    filtered_path = pl.path("filtered.chain")
+    t_net_path = pl.path("target.rescored.net")
+    syntenic_path = pl.path("syntenic.net")
+
+    def st_filter(tmps):
+        with open(tmps[0], "w") as f:
+            for ms, mt, mq in zip(min_scores, min_t_sizes, min_q_sizes):
+                chain_filter([in_chain], f, not_q="chrM", not_t="chrM",
+                             min_score=ms, q_min_size=mq, t_min_size=mt)
+            if keep_syn < INT_MAX or keep_inv < INT_MAX:
+                extract_syn_inv_chains(in_net, in_chain, f, keep_syn,
+                                       keep_inv)
+    pl.stage("chainFilter", [in_chain, in_net], [filtered_path], st_filter)
+
+    def st_prenet(tmps):
+        chains = sort_chains_by_score(read_chains(filtered_path))
+        sorted_io = io.StringIO()
+        write_chains(chains, sorted_io)
+        sorted_io.seek(0)
+        chain_pre_net(sorted_io, t_sizes_file, q_sizes_file, tmps[0])
+    pl.stage("chainSort+chainPreNet", [filtered_path], [out_filtered_chain],
+             st_prenet)
+
+    def st_net(tmps):
+        with open(tmps[0], "w") as t_out:
+            chain_net(out_filtered_chain, t_sizes_file, q_sizes_file,
+                      t_out, io.StringIO(), min_space=1, rescore=True,
+                      t_2bit=t_2bit, q_2bit=q_2bit, linear_gap="loose")
+    pl.stage("chainNet-rescore", [out_filtered_chain], [t_net_path], st_net)
+
+    def st_syn(tmps):
+        net_syntenic(t_net_path, tmps[0])
+    pl.stage("netSyntenic", [t_net_path], [syntenic_path], st_syn)
+
+    def st_filter_net(tmps):
+        kw = dict(min_scores=min_scores, min_t_sizes=min_t_sizes,
+                  min_q_sizes=min_q_sizes)
+        if keep_syn < INT_MAX:
+            kw["keep_syn_nets_with_score"] = keep_syn
+        if keep_inv < INT_MAX:
+            kw["keep_inv_nets_with_score"] = keep_inv
+        with open(syntenic_path) as f, open(tmps[0], "w") as out:
+            net_filter_non_nested(f.read().splitlines(), out, **kw)
+    pl.stage("NetFilterNonNested", [syntenic_path], [out_filtered_net],
+             st_filter_net)

@@ -122,3 +122,38 @@ def test_patch_chain_sharding_is_partition(fixtures_dir):
         parts.append(o.getvalue())
     assert sorted((parts[0] + parts[1]).splitlines()) == \
         sorted(full.getvalue().splitlines())
+
+
+def test_filter_chains_pipeline_checkpointed(fixtures_dir, golden_dir,
+                                             tmp_path):
+    """work_dir mode: identical bytes, and a second run resumes (skips
+    every stage); touching an input re-runs downstream stages only."""
+    from genomealignmenttools_tpu.utils.pipeline import Pipeline
+    args = (
+        os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+        os.path.join(fixtures_dir, "cleaner_input.net"),
+        str(tmp_path / "filtered.chain"),
+        str(tmp_path / "filtered.net"),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"),
+        [50000, 200000], [1000, 0], [1000, 0])
+    work = str(tmp_path / "work")
+    filter_chains_net_filter_nets(*args, work_dir=work)
+    assert open(tmp_path / "filtered.chain").read() == open(
+        os.path.join(golden_dir, "filterChains.filtered.chain")).read()
+    assert open(tmp_path / "filtered.net").read() == open(
+        os.path.join(golden_dir, "filterChains.filtered.net")).read()
+    # resume: all 5 stages skip (outputs untouched)
+    mt_before = os.stat(tmp_path / "filtered.net").st_mtime_ns
+    filter_chains_net_filter_nets(*args, work_dir=work)
+    assert os.stat(tmp_path / "filtered.net").st_mtime_ns == mt_before
+    pl = Pipeline(work)
+    assert os.path.exists(os.path.join(work, "MANIFEST.json"))
+    # interrupted-run simulation: delete the syntenic checkpoint; the
+    # stages before it still skip, it and the final stage re-run
+    os.unlink(os.path.join(work, "syntenic.net"))
+    filter_chains_net_filter_nets(*args, work_dir=work)
+    assert open(tmp_path / "filtered.net").read() == open(
+        os.path.join(golden_dir, "filterChains.filtered.net")).read()
