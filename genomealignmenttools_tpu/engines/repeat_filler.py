@@ -188,11 +188,31 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
                   gap_max_t: int = 100000, gap_max_q: int = 100000,
                   score_threshold: int = 2000,
                   seed_len: int = 10, hsp_threshold: int = 1500,
-                  ref_quirks: bool = False) -> None:
-    """Full RepeatFiller pipeline over a chain file."""
+                  ref_quirks: bool = False,
+                  chain_ids: set[int] | None = None) -> None:
+    """Full RepeatFiller pipeline over a chain file.
+
+    chain_ids: when given, only chains with these ids are processed AND
+    output (the reference's --idList/--idListFile mode extracts those
+    chains via chainExtractID first, RepeatFiller.py:244-302, so its
+    output contains only the selected chains) - this is also the
+    shard-by-chain hook for cluster fan-out."""
     with open(chain_path) as f:
         content = f.read()
     chain_lines = [ln + "\n" for ln in content.split("\n")]
+    if chain_ids is not None:
+        kept: list[str] = []
+        keep = False
+        for ln in chain_lines:
+            if ln.startswith("chain "):
+                w = ln.split()
+                keep = len(w) >= 13 and int(w[12]) in chain_ids
+                if keep and kept:
+                    kept.append("\n")  # blank separator between chains
+            if keep and ln.strip() != "":
+                kept.append(ln)
+        kept.append("\n")
+        chain_lines = kept
     jobs = harvest_gap_jobs(
         chain_lines, chain_min_score, chain_min_size_t, chain_min_size_q,
         gap_min_t, gap_min_q, gap_max_t, gap_max_q)
@@ -245,7 +265,43 @@ def repeat_filler_main(argv: list[str]) -> int:
     p.add_argument("--hspThreshold", type=int, default=1500)
     p.add_argument("--refQuirks", action="store_true",
                    help="replicate the reference's exact (malformed) splice text")
+    p.add_argument("--idList", type=str, default=None,
+                   help="comma-separated chain ids to patch (only those "
+                        "chains are output, like the reference)")
+    p.add_argument("--idListFile", type=str, default=None)
+    p.add_argument("--lastzParameters", type=str, default=None,
+                   help="lastz-style 'K=... W=...' string; K maps to "
+                        "hspThreshold, W to seedLen")
+    # accepted for drop-in compatibility; meaningless in-process
+    p.add_argument("--index", "-ix", type=str, default=None)
+    p.add_argument("--workdir", "-w", type=str, default=None)
+    p.add_argument("--lastz", "--axtChain", "--chainExtractID",
+                   "--chainSort", type=str, default=None,
+                   help="external binary paths (unused: in-process)")
+    p.add_argument("--unmask", action="store_true",
+                   help="align ignoring soft-mask (always on: the seed/"
+                        "extend stage works on unmasked codes)")
+    p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
+    if a.verbose:
+        from ..utils.verbose import set_verbosity
+        set_verbosity(2)
+    if a.idList and a.idListFile:
+        p.error("choose either idList or idListFile, not both")
+    chain_ids = None
+    if a.idList:
+        chain_ids = {int(x) for x in a.idList.split(",") if x}
+    elif a.idListFile:
+        with open(a.idListFile) as f:
+            chain_ids = {int(x) for x in f.read().split() if x}
+    if a.lastzParameters:
+        import re as _re
+        mk = _re.search(r"K\s*=\s*(\d+)", a.lastzParameters)
+        mw = _re.search(r"W\s*=\s*(\d+)", a.lastzParameters)
+        if mk:
+            a.hspThreshold = int(mk.group(1))
+        if mw:
+            a.seedLen = int(mw.group(1))
     out = a.output if a.output else sys.stdout
     repeat_filler(a.chain, a.T2bit, a.Q2bit, out,
                   chain_min_score=a.chainMinScore,
@@ -255,5 +311,5 @@ def repeat_filler_main(argv: list[str]) -> int:
                   gap_max_t=a.gapMaxSizeT, gap_max_q=a.gapMaxSizeQ,
                   score_threshold=a.scoreThreshold,
                   seed_len=a.seedLen, hsp_threshold=a.hspThreshold,
-                  ref_quirks=a.refQuirks)
+                  ref_quirks=a.refQuirks, chain_ids=chain_ids)
     return 0

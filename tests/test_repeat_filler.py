@@ -41,3 +41,28 @@ def test_clean_mode_fills_gaps_and_parses(fixtures_dir):
         assert (c.t_start, c.t_end) == (o.t_start, o.t_end)
         # the planted in-gap homolog must have been found and spliced
         assert c.n_blocks == o.n_blocks + 1
+
+
+def test_repeat_filler_id_list(fixtures_dir, golden_dir, tmp_path):
+    """chain_ids mode outputs only the selected chains, patched - the
+    reference's --idList semantics (chainExtractID first,
+    RepeatFiller.py:244-302)."""
+    import io
+    from genomealignmenttools_tpu.engines.repeat_filler import repeat_filler
+    from genomealignmenttools_tpu.formats.chain import read_chains
+    src = os.path.join(fixtures_dir, "repeatfiller_input.chain")
+    all_ids = [c.id for c in read_chains(src)]
+    pick = set(all_ids[:1])
+    full = io.StringIO()
+    repeat_filler(src, os.path.join(fixtures_dir, "target.2bit"),
+                  os.path.join(fixtures_dir, "query.2bit"), full)
+    sel = io.StringIO()
+    repeat_filler(src, os.path.join(fixtures_dir, "target.2bit"),
+                  os.path.join(fixtures_dir, "query.2bit"), sel,
+                  chain_ids=pick)
+    full_chains = {c.id: c.to_text()
+                   for c in read_chains(io.StringIO(full.getvalue()))}
+    sel_chains = read_chains(io.StringIO(sel.getvalue()))
+    assert {c.id for c in sel_chains} == pick
+    for c in sel_chains:
+        assert c.to_text() == full_chains[c.id]
