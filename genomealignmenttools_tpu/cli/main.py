@@ -47,6 +47,8 @@ def cmd_score_chain(argv: list[str]) -> int:
         force_local_score="forceLocalScore" in opts,
         return_only_score="returnOnlyScore" in opts,
         return_only_score_and_coords="returnOnlyScoreAndCoords" in opts,
+        num_shards=int(opts.get("numShards", 1)),
+        shard=int(opts.get("shard", 0)),
     )
     return 0
 

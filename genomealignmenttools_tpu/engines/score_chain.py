@@ -27,11 +27,17 @@ def score_chain_file(
     return_only_score: bool = False,
     return_only_score_and_coords: bool = False,
     scorer_factory=None,
+    num_shards: int = 1,
+    shard: int = 0,
 ) -> None:
     """Score every chain in in_chain and write out_path.
 
     scorer_factory optionally overrides ChainScorer construction (used to
-    swap in the device-batched scorer)."""
+    swap in the device-batched scorer).
+
+    num_shards/shard: deterministic contiguous work partition for
+    multi-host fan-out (parallel/distributed.py); concatenating the shard
+    outputs in shard order is byte-identical to a single-shard run."""
     if return_only_score and return_only_score_and_coords:
         raise ValueError("cannot set both returnOnlyScore and returnOnlyScoreAndCoords")
 
@@ -57,6 +63,10 @@ def score_chain_file(
     from ..utils.profiling import phase
     with phase("read chains"):
         chains = list(iter_chains(in_chain))
+    if num_shards > 1:
+        from ..parallel.distributed import shard_indices
+        idx = shard_indices(len(chains), num_shards, shard)
+        chains = chains[idx.start:idx.stop]
     with phase("score chains"):
         if hasattr(scorer, "score_chains"):
             scored = scorer.score_chains(chains)

@@ -76,3 +76,35 @@ def test_sharded_chain_scorer_matches_host(fixtures_dir):
                                     make_mesh(n_dev))
         got = scorer.score_chains(chains)
         assert got == want, f"mismatch at n_dev={n_dev}"
+
+
+def test_shard_indices_partition():
+    from genomealignmenttools_tpu.parallel.distributed import shard_indices
+    for n in (0, 1, 7, 23, 100):
+        for k in (1, 2, 3, 8):
+            seen = []
+            for s in range(k):
+                seen.extend(shard_indices(n, k, s))
+            assert seen == list(range(n)), (n, k)
+
+
+def test_score_chain_sharded_concat_matches(fixtures_dir, golden_dir,
+                                            tmp_path):
+    """scoreChain -numShards: concatenated shard outputs == full run."""
+    from genomealignmenttools_tpu.engines.score_chain import score_chain_file
+    args = (os.path.join(fixtures_dir, "synthetic.chain"),
+            os.path.join(fixtures_dir, "target.2bit"),
+            os.path.join(fixtures_dir, "query.2bit"))
+    parts = []
+    for s in range(3):
+        out = str(tmp_path / f"shard{s}.chain")
+        score_chain_file(*args, out, linear_gap="loose", num_shards=3,
+                         shard=s)
+        parts.append(open(out).read())
+    golden = open(os.path.join(golden_dir, "scoreChain.loose.chain")).read()
+    assert "".join(parts) == golden
+
+
+def test_host0_merge_text_single_process():
+    from genomealignmenttools_tpu.parallel.distributed import host0_merge_text
+    assert host0_merge_text("abc") == "abc"
