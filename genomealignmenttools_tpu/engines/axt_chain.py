@@ -72,14 +72,10 @@ def chain_pair(sp: SeqPair, q_codes, t_codes, q_size, t_size,
         score = score_block_codes(q_codes, t_codes, r[2], r[0], r[1] - r[0], lut)
         rows.append([r[0], r[1], r[2], r[3], score])
 
-    def cc(a, b):
-        return connect_cost(a, b, q_codes, t_codes, lut, gap_calc)
-
-    def gc(dq, dt):
-        return gap_calc.cost(dq, dt)
-
-    chains = chain_blocks(sp.q_name, q_size, sp.q_strand,
-                          sp.t_name, t_size, rows, cc, gc)
+    from .kd_chainer import chain_blocks_arrays
+    chains = chain_blocks_arrays(sp.q_name, q_size, sp.q_strand,
+                                 sp.t_name, t_size, rows,
+                                 q_codes, t_codes, lut, gap_calc)
     kept = []
     for chain in chains:
         blk = [list(r[:4]) for r in chain._rows]

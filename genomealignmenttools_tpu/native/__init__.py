@@ -15,7 +15,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libgatnative.so")
 _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "pairpack.cpp"),
-         os.path.join(_DIR, "twobitdec.cpp")]
+         os.path.join(_DIR, "twobitdec.cpp"),
+         os.path.join(_DIR, "chainblocks.cpp")]
 
 _lib = None
 _tried = False
@@ -108,6 +109,20 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.gat_chain_blocks.restype = ctypes.c_int64
+    lib.gat_chain_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
     ]
     lib.gat_expand_blocks.restype = None
     lib.gat_expand_blocks.argtypes = [

@@ -15,19 +15,16 @@ namespace {
 
 struct Lut4 {
     uint8_t v[256][4];
+    uint32_t w[256];  // same 4 codes as one little-endian word store
     Lut4() {
-        for (int b = 0; b < 256; ++b)
+        for (int b = 0; b < 256; ++b) {
             for (int i = 0; i < 4; ++i)
                 v[b][i] = (uint8_t)((b >> (6 - 2 * i)) & 3);
+            std::memcpy(&w[b], v[b], 4);
+        }
     }
 };
 const Lut4 kLut;
-
-void decode_span(const uint8_t* packed, int64_t byte_lo, int64_t byte_hi,
-                 uint8_t* out4 /* at byte_lo*4 */) {
-    for (int64_t b = byte_lo; b < byte_hi; ++b)
-        std::memcpy(out4 + (b - byte_lo) * 4, kLut.v[packed[b]], 4);
-}
 
 }  // namespace
 
@@ -47,18 +44,29 @@ void gat_twobit_decode(const uint8_t* packed, int64_t start, int64_t end,
     const int64_t head = start - byte_lo * 4;  // bases to skip in 1st byte
 
     auto run = [&](int64_t blo, int64_t bhi) {
-        // decode bytes [blo, bhi) directly into out where fully interior,
-        // with small bounce buffers at the edges
-        for (int64_t b = blo; b < bhi; ++b) {
+        // interior bytes land as single word stores; only the first and
+        // last byte of the whole span can straddle the output bounds
+        int64_t b = blo;
+        for (; b < bhi && b * 4 - start < 0; ++b) {
             const uint8_t* four = kLut.v[packed[b]];
-            int64_t base0 = b * 4 - start;  // position of byte's 1st base
-            if (base0 >= 0 && base0 + 4 <= n) {
-                std::memcpy(out + base0, four, 4);
-            } else {
-                for (int i = 0; i < 4; ++i) {
-                    int64_t p = base0 + i;
-                    if (p >= 0 && p < n) out[p] = four[i];
-                }
+            for (int i = 0; i < 4; ++i) {
+                int64_t p = b * 4 - start + i;
+                if (p >= 0 && p < n) out[p] = four[i];
+            }
+        }
+        const int64_t interior_hi = (start + n) / 4;  // byte*4+4 <= start+n
+        int64_t b_int = bhi < interior_hi ? bhi : interior_hi;
+        if (b_int < b) b_int = b;
+        uint32_t* w_out = (uint32_t*)(out + (b * 4 - start));
+        const uint8_t* p_in = packed + b;
+        int64_t cnt = b_int - b;
+        for (int64_t i = 0; i < cnt; ++i)
+            std::memcpy(&w_out[i], &kLut.w[p_in[i]], 4);
+        for (b = b_int; b < bhi; ++b) {
+            const uint8_t* four = kLut.v[packed[b]];
+            for (int i = 0; i < 4; ++i) {
+                int64_t p = b * 4 - start + i;
+                if (p >= 0 && p < n) out[p] = four[i];
             }
         }
     };

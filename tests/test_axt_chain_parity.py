@@ -32,3 +32,47 @@ def test_axt_chain_psl_mode(case, tmp_path):
         is_psl=True)
     expected = open(os.path.join(ref, "expected", f"{case}.chain")).read()
     assert out.getvalue() == expected
+
+
+def test_chain_blocks_native_matches_python():
+    """native/chainblocks.cpp vs the python kd-tree DP: identical chains,
+    scores, and block partitions on randomized workloads (incl. overlap
+    crossovers and negative block scores)."""
+    import numpy as np
+    from genomealignmenttools_tpu.engines.chain_connect import (connect_cost,
+                                                                gap_cost)
+    from genomealignmenttools_tpu.engines.kd_chainer import (
+        chain_blocks, chain_blocks_arrays)
+    from genomealignmenttools_tpu.formats.gapcalc import gap_calc_from_file
+    from genomealignmenttools_tpu.formats.scorematrix import (
+        score_scheme_default)
+    from genomealignmenttools_tpu.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    gcal = gap_calc_from_file("loose")
+    lut = np.asarray(score_scheme_default().lut)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(3, 400))
+        q_codes = rng.integers(0, 5, 100000).astype(np.uint8)
+        t_codes = rng.integers(0, 5, 100000).astype(np.uint8)
+        ts = np.sort(rng.integers(0, 90000, n))
+        rows = []
+        for i in range(n):
+            length = int(rng.integers(0, 40))  # includes zero-length drops
+            qs = max(0, int(ts[i] + rng.integers(-200, 200)))
+            sc = int(rng.integers(-500, 4000))  # negative scores too
+            rows.append([int(ts[i]), int(ts[i]) + length, qs, qs + length,
+                         sc])
+        py = chain_blocks(
+            "q", 100000, "+", "t", 100000, [list(r) for r in rows],
+            lambda a, b: connect_cost(a, b, q_codes, t_codes, lut, gcal),
+            lambda dq, dt: gap_cost(dq, dt, gcal))
+        nat = chain_blocks_arrays("q", 100000, "+", "t", 100000,
+                                  [list(r) for r in rows],
+                                  q_codes, t_codes, lut, gcal)
+        assert len(py) == len(nat), seed
+        for a, b in zip(py, nat):
+            assert a.score == b.score, seed
+            assert [r[:4] for r in a._rows] == [list(r)[:4] for r in b._rows], seed
