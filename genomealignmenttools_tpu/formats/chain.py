@@ -428,6 +428,13 @@ def write_chains(chains, path_or_file) -> None:
             for c in chains:
                 f.write(c.to_text())
     else:
+        # file object: still use the native serializer for the whole list
+        from ..native import chain_io
+        chains = list(chains)
+        blob = chain_io.serialize_chains(chains)
+        if blob is not None:
+            path_or_file.write(blob.decode())
+            return
         for c in chains:
             path_or_file.write(c.to_text())
 
