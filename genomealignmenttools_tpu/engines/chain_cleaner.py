@@ -199,8 +199,12 @@ class ChainCleaner:
                  min_lr_gap_size: int = 0,
                  do_pairs: bool = False,
                  lr_fold_threshold_pairs: float = 10.0,
-                 max_pair_distance: int = 10000):
+                 max_pair_distance: int = 10000,
+                 host_scorer: ChainScorer | None = None):
         self.scorer = scorer
+        # host scorer for cache-miss stragglers (bit-identical to the
+        # device path); defaults to the main scorer
+        self.host_scorer = host_scorer or scorer
         self.lr_fold = lr_fold_threshold
         self.fold = fold_threshold
         self.max_suspect_bases = max_suspect_bases
@@ -219,6 +223,20 @@ class ChainCleaner:
         self.bed_lines: list[str] = []
         self.suspect_chains: list[Chain] = []
         self.new_id_dict: list[tuple[int, int]] = []
+
+        # sub-chain score cache: (chain_id, t_start, t_end) ->
+        # (global, local, ali_bases, exists, seq).  A cached entry is valid
+        # unless a later block removal on that chain overlaps its t-range
+        # (chainRemoveBlocks only deletes blocks inside the removed suspect
+        # range, so scores over disjoint ranges are unaffected).  This lets
+        # one batched device round trip score every pending break's 4
+        # sub-chains up front while the fixed-point removal loop replays the
+        # reference's strictly sequential decisions (chainCleaner.c:1452-1631)
+        # byte-exactly on host.
+        self._sub_cache: dict[tuple[int, int, int], tuple] = {}
+        self._removed_ranges: dict[int, list[tuple[int, int, int]]] = {}
+        self._seq = 0
+        self._cache_misses = 0
 
     # ------------------------------------------------------------------
     def find_breaks(self, nets) -> None:
@@ -305,6 +323,85 @@ class ChainCleaner:
         chain.score = g
         return g, loc
 
+    def _score_sub(self, chain: Chain, start: int, end: int) -> tuple:
+        """(global, local, ali_bases, exists) of chain.subset_on_t(start,end).
+
+        Served from the batched prescore cache when no later block removal
+        on `chain` overlaps [start,end); recomputed on the host scorer
+        otherwise (bit-identical)."""
+        key = (chain.id, start, end)
+        hit = self._sub_cache.get(key)
+        if hit is not None and self._entry_valid(chain.id, start, end, hit[4]):
+            res = hit[:4]
+        else:
+            self._cache_misses += 1
+            sub = chain.subset_on_t(start, end)
+            if sub is None:
+                res = (0.0, 0.0, 0, False)
+            else:
+                bs, gc = self.host_scorer.score_arrays(sub)
+                res = (float(chain_global_score(bs, gc)),
+                       float(chain_local_score(bs, gc)),
+                       int((sub.blocks[:, 1] - sub.blocks[:, 0]).sum()), True)
+            self._sub_cache[key] = res + (self._seq,)
+        if res[3] and start <= chain.t_start and end >= chain.t_end:
+            # chainSubsetOnT returns the ORIGINAL chain on full cover
+            # (chain.c:471-488), so C's getChainScore mutates the stored
+            # chain's score - later tests and the final write see it
+            chain.score = res[0]
+        return res
+
+    def _entry_valid(self, chain_id: int, start: int, end: int,
+                     entry_seq: int) -> bool:
+        for (s, e, sq) in self._removed_ranges.get(chain_id, ()):
+            if sq > entry_seq and s < end and e > start:
+                return False
+        return True
+
+    def _mark_removed(self, chain_id: int, start: int, end: int) -> None:
+        self._seq += 1
+        self._removed_ranges.setdefault(chain_id, []).append(
+            (start, end, self._seq))
+
+    def _prescore_breaks(self) -> None:
+        """Score every pending break's 4 sub-chains in one batched device
+        round trip (the reference scores them one at a time inside
+        testAndRemoveSuspect, chainCleaner.c:1214-1229)."""
+        if not hasattr(self.scorer, "score_chains"):
+            return
+        jobs: list[Chain] = []
+        keys: list[tuple[int, int, int]] = []
+        seen: set[tuple[int, int, int]] = set()
+
+        def enqueue(chain: Chain | None, start: int, end: int):
+            if chain is None:
+                return
+            key = (chain.id, start, end)
+            if key in seen:
+                return
+            seen.add(key)
+            sub = chain.subset_on_t(start, end)
+            if sub is None:
+                self._sub_cache[key] = (0.0, 0.0, 0, False, self._seq)
+                return
+            jobs.append(sub)
+            keys.append(key)
+
+        for _, break_list in self.break_hash.el_list_order():
+            for brk in break_list:
+                breaking = self.chains.get(brk.parent_chain_id)
+                broken = self.chains.get(brk.chain_id)
+                enqueue(breaking, brk.suspect_start, brk.suspect_end)
+                enqueue(broken, brk.l_fill_start, brk.r_fill_end)
+                enqueue(broken, brk.l_fill_start, brk.suspect_end)
+                enqueue(broken, brk.suspect_start, brk.r_fill_end)
+        if not jobs:
+            return
+        scored = self.scorer.score_chains(jobs)
+        for key, sub, (g, loc, ali) in zip(keys, jobs, scored):
+            self._sub_cache[key] = (float(g), float(loc), int(ali), True,
+                                    self._seq)
+
     def _test_and_remove(self, brk: BreakInfo, upstream: BreakInfo | None,
                          downstream: BreakInfo | None,
                          is_pair: bool) -> tuple[bool, bool]:
@@ -318,26 +415,23 @@ class ChainCleaner:
         breaking_score = breaking.score
         broken_score = broken.score
 
-        sub_suspect = breaking.subset_on_t(brk.suspect_start, brk.suspect_end)
-        sub_fill = broken.subset_on_t(brk.l_fill_start, brk.r_fill_end)
-        sub_lfill = broken.subset_on_t(brk.l_fill_start, brk.suspect_end)
-        sub_rfill = broken.subset_on_t(brk.suspect_start, brk.r_fill_end)
-
-        if sub_suspect is None:
+        sus_global, suspect_local, suspect_bases, sus_exists = \
+            self._score_sub(breaking, brk.suspect_start, brk.suspect_end)
+        if not sus_exists:
+            # suspect already deleted by an earlier removal this iteration
+            # (chainCleaner.c:1221-1224)
             return False, False
-
-        _, suspect_local = self._get_chain_score(sub_suspect)
-        self._get_chain_score(sub_fill)
-        self._get_chain_score(sub_lfill)
-        self._get_chain_score(sub_rfill)
+        fill_global = self._score_sub(broken, brk.l_fill_start,
+                                      brk.r_fill_end)[0]
+        lfill_global = self._score_sub(broken, brk.l_fill_start,
+                                       brk.suspect_end)[0]
+        rfill_global = self._score_sub(broken, brk.suspect_start,
+                                       brk.r_fill_end)[0]
 
         with np.errstate(divide="ignore", invalid="ignore"):
-            ratio = float(np.float64(sub_fill.score) / np.float64(suspect_local))
-            ratio_l = float(np.float64(sub_lfill.score) / np.float64(suspect_local))
-            ratio_r = float(np.float64(sub_rfill.score) / np.float64(suspect_local))
-
-        suspect_bases = int((sub_suspect.blocks[:, 1]
-                             - sub_suspect.blocks[:, 0]).sum())
+            ratio = float(np.float64(fill_global) / np.float64(suspect_local))
+            ratio_l = float(np.float64(lfill_global) / np.float64(suspect_local))
+            ratio_r = float(np.float64(rfill_global) / np.float64(suspect_local))
 
         lr_threshold = self.lr_fold_pairs if is_pair else self.lr_fold
         removed = (
@@ -361,7 +455,11 @@ class ChainCleaner:
                 f"_suspectLocalScore_{int(suspect_local)}"
                 f"_RatioL_{ratio_l:.2f}_RatioR_{ratio_r:.2f}\t1000\t+\t"
                 f"{brk.suspect_start}\t{brk.suspect_end}\t{color}\n")
+            sub_suspect = breaking.subset_on_t(brk.suspect_start,
+                                               brk.suspect_end)
+            sub_suspect.score = sus_global  # getChainScore side effect
             breaking.remove_blocks_in_t_range(brk.suspect_start, brk.suspect_end)
+            self._mark_removed(breaking.id, brk.suspect_start, brk.suspect_end)
             self.max_chain_id += 1
             sub_suspect.id = self.max_chain_id
             self.new_id_dict.append((sub_suspect.id, breaking.id))
@@ -391,6 +489,7 @@ class ChainCleaner:
 
     def loop_over_breaks(self) -> None:
         """loopOverBreaks (chainCleaner.c:1452-1631)."""
+        self._prescore_breaks()
         for _, break_list in self.break_hash.el_list_order():
             while True:  # overall iteration (singles then pairs)
                 # --- singles fixed point ---
@@ -455,13 +554,25 @@ class ChainCleaner:
 
     # ------------------------------------------------------------------
     def write_chains_of_interest(self, out) -> None:
-        """writeAndFreeChainsOfInterest over hashTraverseEls order."""
-        for key, _ in self.chain_of_interest.traverse_order():
+        """writeAndFreeChainsOfInterest over hashTraverseEls order.
+
+        Rescoring of all modified chains is batched into one device round
+        trip (the reference rescored them one by one at write time,
+        chainCleaner.c:625-643)."""
+        order = list(self.chain_of_interest.traverse_order())
+        rescore = [self.chains[int(key)] for key, _ in order
+                   if key in self.needs_rescoring]
+        if rescore and hasattr(self.scorer, "score_chains"):
+            for chain, (g, _loc, _ali) in zip(
+                    rescore, self.scorer.score_chains(rescore)):
+                chain.score = float(g)
+        else:
+            for chain in rescore:
+                self._get_chain_score(chain)
+        for key, _ in order:
             chain = self.chains.get(int(key))
             if chain is None:
                 raise KeyError(f"chain {key} missing from chainId2chain")
-            if key in self.needs_rescoring:
-                self._get_chain_score(chain)
             out.write(chain.to_text())
 
 
@@ -482,10 +593,26 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
     scheme = (read_score_scheme(score_scheme) if score_scheme
               else score_scheme_default())
     gap_calc = gap_calc_from_file(linear_gap)
+    t_genome, q_genome = Genome(t_2bit), Genome(q_2bit)
+    if scorer_factory is None:
+        # device-batched scorer on accelerator backends (bit-identical to
+        # the host path; all pending break sub-chains are scored in one
+        # device round trip), plain host scorer on CPU - same auto-select
+        # as score_chain.py
+        import jax
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "cpu"
+        if backend != "cpu":
+            from ..ops.rescore import DeviceChainScorer
+            scorer_factory = DeviceChainScorer
     factory = scorer_factory or ChainScorer
-    scorer = factory(scheme, gap_calc, Genome(t_2bit), Genome(q_2bit))
+    scorer = factory(scheme, gap_calc, t_genome, q_genome)
+    host_scorer = (scorer if factory is ChainScorer
+                   else ChainScorer(scheme, gap_calc, t_genome, q_genome))
 
-    cleaner = ChainCleaner(scorer, **thresholds)
+    cleaner = ChainCleaner(scorer, host_scorer=host_scorer, **thresholds)
     verbose(1, "Verbosity level: %d\n" % verbosity())
     verbose(1, "foldThreshold: %f    LRfoldThreshold: %f   "
                "maxSuspectBases: %d  maxSuspectScore: %d  "

@@ -432,15 +432,18 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
             if sub is None:
                 continue
             jobs.append(sub)
-            keys.append((id(chain), fill.start, fill.end))
+            keys.append((chain, fill.start, fill.end))
         scored = scorer.score_chains(jobs)
-        by_key = {k: s_[0] for k, s_ in zip(keys, scored)}
+        # key on (id, start, end) but pin the chain object in the value so
+        # a GC'd chain can never alias a reused id()
+        by_key = {(id(c), s, e): (c, s_[0])
+                  for (c, s, e), s_ in zip(keys, scored)}
 
         def rescorer(chain: Chain, start: int, end: int,
                      _by_key=by_key) -> float:
             hit = _by_key.get((id(chain), start, end))
-            if hit is not None:
-                return hit
+            if hit is not None and hit[0] is chain:
+                return hit[1]
             return scorer.global_score(chain.subset_on_t(start, end))
     netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
     netter.output_side(q_net_out, is_q=True, rescorer=None)

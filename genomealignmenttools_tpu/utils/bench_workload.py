@@ -102,3 +102,205 @@ def build_workload(out_dir: str, t_size: int = 64_000_000,
         f.write(f"{key}\n{aligned}\n")
     return {"chain": chain_path, "t2bit": t2bit, "q2bit": q2bit,
             "aligned_bases": aligned}
+
+
+def _plant(t_seq: np.ndarray, q_seq: np.ndarray, blocks: np.ndarray,
+           strand: str, identity: float, rng) -> None:
+    """Copy target block content into the query (chain coordinates), with
+    ~(1-identity) point divergence.  Vectorized over the chain's blocks."""
+    bsizes = blocks[:, 1] - blocks[:, 0]
+    total = int(bsizes.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(bsizes) - bsizes, bsizes)
+    frag = t_seq[np.repeat(blocks[:, 0], bsizes) + within]
+    thresh = int(round((1.0 - identity) * 256))
+    if thresh > 0:
+        mut = np.frombuffer(rng.bytes(total), np.uint8) < thresh
+        nmut = int(mut.sum())
+        if nmut:
+            frag = frag.copy()
+            frag[mut] = BASES[np.frombuffer(rng.bytes(nmut), np.uint8) & 3]
+    idx_q = np.repeat(blocks[:, 2], bsizes) + within
+    if strand == "+":
+        q_seq[idx_q] = frag
+    else:
+        q_seq[q_seq.shape[0] - 1 - idx_q] = _COMP_LUT[frag]
+
+
+_CHAR2CODE = np.full(256, 4, dtype=np.uint8)  # 2bit codes: T=0 C=1 A=2 G=3
+for _i, _c in enumerate(b"TCAG"):
+    _CHAR2CODE[_c] = _i
+    _CHAR2CODE[_c + 32] = _i
+
+
+def _enforce_tie_free(t_seq, q_seq, scenarios, chains, n_scenarios, rng):
+    """Guarantee the final chainCleaner output has no duplicate scores.
+
+    The final file's scores are: bulk file scores (unique ints), every
+    suspect chain's exact global score, every broken chain's exact global
+    score (set via the chainSubsetOnT full-cover side effect), and every
+    breaking chain's exact rescored score after suspect removal.  C's
+    chainSort resolves equal-score ties in glibc-qsort order (not a
+    reproducible contract), so colliding scenario chains are re-planted
+    with fresh divergence until all scores are unique.
+    """
+    from ..formats.gapcalc import gap_calc_from_file
+    from ..formats.scorematrix import score_scheme_default
+
+    lut = score_scheme_default().lut.astype(np.int64)
+    gap_calc = gap_calc_from_file("loose")
+    q_len = q_seq.shape[0]
+
+    def exact_score(blocks, strand):
+        bs_total = 0
+        for ts, te, qs, qe in blocks:
+            tc = _CHAR2CODE[t_seq[ts:te]].astype(np.int64)
+            if strand == "+":
+                qc = _CHAR2CODE[q_seq[qs:qe]].astype(np.int64)
+            else:
+                qc = (_CHAR2CODE[q_seq[q_len - qe:q_len - qs]]
+                      .astype(np.int64) ^ 2)[::-1]
+            bs_total += int(lut[qc, tc].sum())
+        dt = blocks[1:, 0] - blocks[:-1, 1]
+        dq = blocks[1:, 2] - blocks[:-1, 3]
+        return bs_total - int(gap_calc.cost_vec(dq, dt).sum())
+
+    seen = {float(sc) for sc, _ in chains}  # file scores incl. bulk ints
+    for strand, a_blocks, s_blocks, b_blocks, c_blocks in scenarios:
+        anchors = np.concatenate([a_blocks, b_blocks])
+        for blocks, st, ident in ((s_blocks, strand, 0.78),
+                                  (c_blocks, "+", 0.94),
+                                  (anchors, strand, 0.93)):
+            for _attempt in range(50):
+                s = float(exact_score(blocks, st))
+                if s not in seen:
+                    break
+                _plant(t_seq, q_seq, blocks[:1], st, ident, rng)
+            else:
+                raise RuntimeError("could not de-tie workload scores")
+            seen.add(s)
+
+
+def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
+                           n_bulk: int = 30000, seed: int = 11) -> dict:
+    """chr1-scale chainCleaner workload with planted breaking/broken
+    structure (same scenario geometry as tests/make_fixtures.py, at scale).
+
+    Per scenario: a high-scoring "breaking" chain P = [10x1.5kb anchor]
+    ...20kb gap... [250bp weak suspect] ...22kb gap... [10x1.5kb anchor],
+    and a "broken" chain C whose two block runs fill both gaps of P - a
+    valid break for chainCleaner (chainCleaner.c:969-1079) whose weak
+    suspect passes the removal thresholds.  Plus n_bulk small pass-through
+    chains for realistic parse/net volume.  Deterministic; cached on disk.
+
+    Returns paths for chain/t2bit/q2bit/tSizes/qSizes files - runnable
+    identically by the reference C chainCleaner and this framework.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "CLEANER_META.txt")
+    paths = {
+        "chain": os.path.join(out_dir, "cleaner.chain"),
+        "t2bit": os.path.join(out_dir, "ct.2bit"),
+        "q2bit": os.path.join(out_dir, "cq.2bit"),
+        "t_sizes": os.path.join(out_dir, "ct.sizes"),
+        "q_sizes": os.path.join(out_dir, "cq.sizes"),
+    }
+    key = f"{n_scenarios},{n_bulk},{seed},v3"
+    if os.path.exists(meta_path) and \
+            open(meta_path).read().split("\n")[0] == key:
+        return dict(paths, n_scenarios=n_scenarios, n_bulk=n_bulk)
+
+    from ..formats.chain import Chain, write_chains
+    from ..formats.twobit import write_twobit
+
+    rng = np.random.default_rng(seed)
+    scen_span_t, scen_span_q = 120_000, 80_000
+    bulk_span_t, bulk_span_q = 3_000, 2_400
+    t_size = n_scenarios * scen_span_t + n_bulk * bulk_span_t + 100_000
+    q_size = n_scenarios * scen_span_q + n_bulk * bulk_span_q + 100_000
+    t_seq = BASES[np.frombuffer(rng.bytes(t_size), np.uint8) & 3]
+    q_seq = BASES[np.frombuffer(rng.bytes(q_size), np.uint8) & 3].copy()
+
+    chains: list[tuple[float, Chain]] = []
+
+    def colinear(t0, q0, n, size, gap_lo, gap_hi):
+        gaps_t = rng.integers(gap_lo, gap_hi, n)
+        gaps_q = rng.integers(gap_lo, gap_hi, n)
+        ts = t0 + np.concatenate([[0], np.cumsum(size + gaps_t[:-1])])
+        qs = q0 + np.concatenate([[0], np.cumsum(size + gaps_q[:-1])])
+        return np.stack([ts, ts + size, qs, qs + size], 1).astype(np.int64)
+
+    def mk_chain(blocks, strand, score):
+        return (score, Chain(
+            score=score, t_name="chrT", t_size=t_size,
+            t_start=int(blocks[0, 0]), t_end=int(blocks[-1, 1]),
+            q_name="chrQ", q_size=q_size, q_strand=strand,
+            q_start=int(blocks[0, 2]), q_end=int(blocks[-1, 3]),
+            id=0, blocks=blocks))
+
+    scenarios = []  # (strand, a_blocks, s_blocks, b_blocks, c_blocks)
+    for i in range(n_scenarios):
+        t0 = i * scen_span_t + 10_000
+        q0 = i * scen_span_q + 5_000
+        strand = "+" if i % 3 else "-"
+        # breaking chain P: anchorA + weak suspect + anchorB.  Geometry is
+        # varied per scenario (anchor/suspect/broken block sizes) so the
+        # rescored output scores are spread out - C's chainSort breaks
+        # score ties via glibc qsort order, which is not a reproducible
+        # contract, so the workload must be (and is verified) tie-free.
+        a_bs = 1200 + (i % 800)
+        sus_len = 200 + (i * 7) % 1400
+        b_bs = 800 + (i * 13) % 300
+        a_blocks = colinear(t0, q0, 10, a_bs, 10, 200)
+        gap1_start = int(a_blocks[-1, 1])
+        sus_t = gap1_start + 20_000
+        sus_q = int(a_blocks[-1, 3]) + 900
+        s_blocks = np.array([[sus_t, sus_t + sus_len, sus_q, sus_q + sus_len]],
+                            np.int64)
+        b_blocks = colinear(sus_t + sus_len + 22_000, sus_q + sus_len + 1200,
+                            10, a_bs, 10, 200)
+        p_blocks = np.concatenate([a_blocks, s_blocks, b_blocks])
+        _plant(t_seq, q_seq, a_blocks, strand, 0.93, rng)
+        _plant(t_seq, q_seq, s_blocks, strand, 0.78, rng)
+        _plant(t_seq, q_seq, b_blocks, strand, 0.93, rng)
+        chains.append(mk_chain(p_blocks, strand, 5_000_000 - i))
+        # broken chain C: fills P's two big gaps (plus strand)
+        cq0 = q0 + 50_000
+        l_blocks = colinear(gap1_start + 500, cq0, 8, b_bs, 5, 120)
+        r_blocks = colinear(sus_t + sus_len + 500, int(l_blocks[-1, 3]) + 400,
+                            8, b_bs, 5, 120)
+        c_blocks = np.concatenate([l_blocks, r_blocks])
+        _plant(t_seq, q_seq, c_blocks, "+", 0.94, rng)
+        chains.append(mk_chain(c_blocks, "+", 400_000 - i))
+        scenarios.append((strand, a_blocks, s_blocks, b_blocks, c_blocks))
+
+    bulk_t0 = n_scenarios * scen_span_t + 50_000
+    bulk_q0 = n_scenarios * scen_span_q + 50_000
+    for i in range(n_bulk):
+        t0 = bulk_t0 + i * bulk_span_t
+        q0 = bulk_q0 + i * bulk_span_q
+        strand = "+" if i % 4 else "-"
+        blocks = colinear(t0, q0, 12, int(rng.integers(60, 180)), 0, 50)
+        _plant(t_seq, q_seq, blocks, strand, 0.90, rng)
+        chains.append(mk_chain(blocks, strand, 100_001 + i))
+
+    _enforce_tie_free(t_seq, q_seq, scenarios, chains, n_scenarios, rng)
+
+    # score-desc order with ids 1..N in that order (chainMergeSort
+    # renumbering semantics: lower id = higher score), as chainNet requires
+    chains.sort(key=lambda sc: -sc[0])
+    out_chains = []
+    for idx, (_, c) in enumerate(chains):
+        c.id = idx + 1
+        out_chains.append(c)
+
+    write_twobit(paths["t2bit"], [("chrT", t_seq.tobytes())])
+    write_twobit(paths["q2bit"], [("chrQ", q_seq.tobytes())])
+    with open(paths["t_sizes"], "w") as f:
+        f.write(f"chrT\t{t_size}\n")
+    with open(paths["q_sizes"], "w") as f:
+        f.write(f"chrQ\t{q_size}\n")
+    write_chains(out_chains, paths["chain"])
+    with open(meta_path, "w") as f:
+        f.write(f"{key}\n")
+    return dict(paths, n_scenarios=n_scenarios, n_bulk=n_bulk)

@@ -56,3 +56,20 @@ def test_chain_cleaner_internal_netting(fixtures_dir, golden_dir, tmp_path):
                                     "chainCleaner.removedSuspects.bed")).read()
     assert chain == open(os.path.join(golden_dir,
                                       "chainCleaner.out.chain")).read()
+
+
+def test_chain_cleaner_batched_device_path(fixtures_dir, golden_dir, tmp_path):
+    """The batched prescore + cached replay path (DeviceChainScorer) must be
+    byte-identical to the sequential host path."""
+    from genomealignmenttools_tpu.ops.rescore import DeviceChainScorer
+
+    def factory(scheme, gap_calc, t_genome, q_genome):
+        return DeviceChainScorer(scheme, gap_calc, t_genome, q_genome,
+                                 mode="xla")
+
+    chain, bed = _run_cleaner(fixtures_dir, tmp_path, net_file=None,
+                              scorer_factory=factory)
+    assert bed == open(os.path.join(golden_dir,
+                                    "chainCleaner.removedSuspects.bed")).read()
+    assert chain == open(os.path.join(golden_dir,
+                                      "chainCleaner.out.chain")).read()
