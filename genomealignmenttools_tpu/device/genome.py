@@ -16,10 +16,12 @@ import numpy as np
 from ..formats.twobit import TwoBitFile, TwoBitSeq
 
 
+_RC_CODE = np.array([2, 3, 0, 1, 4], dtype=np.uint8)  # T<->A, C<->G, N=N
+
+
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
-    """Reverse complement a code array (0..4)."""
-    rc = codes[::-1]
-    return np.where(rc < 4, rc ^ 2, rc).astype(codes.dtype)
+    """Reverse complement a code array (0..4); single LUT gather pass."""
+    return _RC_CODE[codes[::-1]]
 
 
 @dataclass
@@ -61,3 +63,129 @@ class Genome:
     def codes(self, name: str, strand: str = "+") -> np.ndarray:
         s = self.seq(name)
         return s.codes if strand == "+" else s.rc_codes()
+
+
+# ------------------------------------------------------------------
+# Alternate genome sources: fasta files, nib directories, single nibs.
+# The reference tools accept all of these interchangeably (axtChain
+# seq loading, axtChain.c:119-171 + 379-470: twoBitIsFile else nib dir,
+# -faQ/-faT fasta hashes; chainCleaner.c:440-457 nibLoadAllMasked
+# NIB_MASK_MIXED).  All expose the Genome API (seq/codes/names).
+
+_CHAR_CODE = np.full(256, 4, dtype=np.uint8)  # T=0 C=1 A=2 G=3, rest N
+for _i, _c in enumerate(b"TCAG"):
+    _CHAR_CODE[_c] = _i
+    _CHAR_CODE[_c + 32] = _i
+
+
+class CharGenome:
+    """Genome backed by mixed-case character sequences (fasta / nib);
+    lowercase = soft-masked (NIB_MASK_MIXED / faReadAllMixed semantics)."""
+
+    def __init__(self, with_mask: bool = False):
+        self.with_mask = with_mask
+        self._seqs: dict[str, GenomeSeq] = {}
+
+    def _load_chars(self, name: str) -> bytes:
+        raise NotImplementedError
+
+    def names(self) -> list[str]:
+        raise NotImplementedError
+
+    def seq(self, name: str) -> GenomeSeq:
+        if name not in self._seqs:
+            chars = np.frombuffer(self._load_chars(name), np.uint8)
+            mask = None
+            if self.with_mask:
+                mask = (chars >= ord("a")) & (chars <= ord("z"))
+            self._seqs[name] = GenomeSeq(
+                name=name, size=chars.shape[0],
+                codes=_CHAR_CODE[chars], mask=mask)
+        return self._seqs[name]
+
+    def codes(self, name: str, strand: str = "+") -> np.ndarray:
+        s = self.seq(name)
+        return s.codes if strand == "+" else s.rc_codes()
+
+
+class FastaGenome(CharGenome):
+    """All sequences of a fasta file, case preserved (faReadMixedNext)."""
+
+    def __init__(self, path: str, with_mask: bool = False):
+        super().__init__(with_mask)
+        self.path = path
+        self._chars: dict[str, bytes] = {}
+        name, chunks = None, []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith(">"):
+                    if name is not None:
+                        self._chars[name] = "".join(chunks).encode()
+                    name = line[1:].split()[0] if len(line) > 1 else ""
+                    chunks = []
+                elif name is not None:
+                    chunks.append(line)
+        if name is not None:
+            self._chars[name] = "".join(chunks).encode()
+
+    def _load_chars(self, name: str) -> bytes:
+        if name not in self._chars:
+            raise KeyError(
+                f"ERROR: can not find sequence name '{name}' "
+                f"from fasta file '{self.path}'")
+        return self._chars[name]
+
+    def names(self) -> list[str]:
+        return list(self._chars)
+
+
+class NibDirGenome(CharGenome):
+    """Directory of one-per-sequence .nib files; lazy per-chrom load
+    ({dir}/{name}.nib, nibLoadAllMasked NIB_MASK_MIXED)."""
+
+    def __init__(self, nib_dir: str, with_mask: bool = False):
+        super().__init__(with_mask)
+        self.nib_dir = nib_dir
+
+    def _load_chars(self, name: str) -> bytes:
+        import os
+        from ..formats.nib import read_nib
+        return read_nib(os.path.join(self.nib_dir, name + ".nib"))
+
+    def names(self) -> list[str]:
+        import os
+        return sorted(f[:-4] for f in os.listdir(self.nib_dir)
+                      if f.endswith(".nib"))
+
+
+class NibFileGenome(CharGenome):
+    """A single .nib file holding one sequence named by the file stem."""
+
+    def __init__(self, path: str, with_mask: bool = False):
+        super().__init__(with_mask)
+        self.path = path
+        import os
+        self._name = os.path.splitext(os.path.basename(path))[0]
+
+    def _load_chars(self, name: str) -> bytes:
+        from ..formats.nib import read_nib
+        if name != self._name:
+            raise KeyError(f"{self.path} holds '{self._name}', not '{name}'")
+        return read_nib(self.path)
+
+    def names(self) -> list[str]:
+        return [self._name]
+
+
+def open_genome(path: str, fasta: bool = False, with_mask: bool = False):
+    """Open a genome source by kind: fasta (explicit flag, like -faQ/-faT),
+    a directory of .nib files, a single .nib file, or a 2bit file."""
+    import os
+    if fasta:
+        return FastaGenome(path, with_mask=with_mask)
+    if os.path.isdir(path):
+        return NibDirGenome(path, with_mask=with_mask)
+    if path.endswith(".nib"):
+        return NibFileGenome(path, with_mask=with_mask)
+    return Genome(path, with_mask=with_mask)

@@ -37,7 +37,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..device.genome import Genome
+from ..device.genome import open_genome
 from ..formats.chain import Chain, format_score, iter_chains
 from ..formats.gapcalc import gap_calc_from_file
 from ..formats.net import NetFill, read_nets
@@ -314,6 +314,19 @@ class ChainCleaner:
             else:
                 passthrough_out.write(chain.to_text())
 
+    def split_chains(self, chains: list[Chain]) -> list[Chain]:
+        """readChainsOfInterest over a pre-parsed list: store breaking and
+        broken chains, return the pass-through rest (in input order)."""
+        passthrough: list[Chain] = []
+        for chain in chains:
+            if self.max_chain_id < chain.id:
+                self.max_chain_id = chain.id
+            if str(chain.id) in self.chain_of_interest:
+                self.chains[chain.id] = chain
+            else:
+                passthrough.append(chain)
+        return passthrough
+
     # ------------------------------------------------------------------
     def _get_chain_score(self, chain: Chain) -> tuple[float, float]:
         """getChainScore: sets chain.score to global; returns (global, local)."""
@@ -559,6 +572,11 @@ class ChainCleaner:
         Rescoring of all modified chains is batched into one device round
         trip (the reference rescored them one by one at write time,
         chainCleaner.c:625-643)."""
+        for chain in self.chains_of_interest_for_output():
+            out.write(chain.to_text())
+
+    def chains_of_interest_for_output(self) -> list[Chain]:
+        """The (rescored) breaking/broken chains in hashTraverseEls order."""
         order = list(self.chain_of_interest.traverse_order())
         rescore = [self.chains[int(key)] for key, _ in order
                    if key in self.needs_rescoring]
@@ -569,11 +587,13 @@ class ChainCleaner:
         else:
             for chain in rescore:
                 self._get_chain_score(chain)
+        out_chains = []
         for key, _ in order:
             chain = self.chains.get(int(key))
             if chain is None:
                 raise KeyError(f"chain {key} missing from chainId2chain")
-            out.write(chain.to_text())
+            out_chains.append(chain)
+        return out_chains
 
 
 def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
@@ -593,7 +613,7 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
     scheme = (read_score_scheme(score_scheme) if score_scheme
               else score_scheme_default())
     gap_calc = gap_calc_from_file(linear_gap)
-    t_genome, q_genome = Genome(t_2bit), Genome(q_2bit)
+    t_genome, q_genome = open_genome(t_2bit), open_genome(q_2bit)
     if scorer_factory is None:
         # device-batched scorer on accelerator backends (bit-identical to
         # the host path; all pending break sub-chains are scored in one
@@ -629,6 +649,13 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
     if score_scheme:
         verbose(1, "Reading scoring matrix from %s\n" % score_scheme)
 
+    # single input parse, shared by netting and chain splitting ('#' meta
+    # lines collected in encounter order; the final sorted write puts them
+    # at the top, same as the reference's text pipeline ends up doing)
+    from ..formats.chain import read_chains as _read_chain_file
+    meta_lines: list[str] = []
+    all_chains = _read_chain_file(in_chain, meta_out=meta_lines.append)
+
     if net_file is None:
         if t_sizes is None or q_sizes is None:
             raise ValueError("need -tSizes/-qSizes when no -net is given")
@@ -639,8 +666,9 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
                    "...\n" % in_chain)
         net_source = "in-memory net of %s" % in_chain
         t_net = io.StringIO()
-        q_sink = io.StringIO()
-        chain_net(in_chain, t_sizes, q_sizes, t_net, q_sink, min_score=0)
+        # q-side net goes to /dev/null in the reference (chainCleaner.c:
+        # 1660) - skip formatting it entirely
+        chain_net(all_chains, t_sizes, q_sizes, t_net, None, min_score=0)
         filtered = io.StringIO()
         net_filter_non_nested(t_net.getvalue().splitlines(), filtered,
                               min_score1=3000)
@@ -667,8 +695,7 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
 
     verbose(1, "2. reading breaking and broken chains from %s and write "
                "irrelevant chains to %s ...\n" % (in_chain, out_chain_path))
-    unsorted = io.StringIO()
-    cleaner.read_chains(in_chain, unsorted)
+    passthrough = cleaner.split_chains(all_chains)
     verbose(1, "DONE\n\n")
     verbose(1, "3. reading target and query DNA sequences for breaking and "
                "broken chains ...\n")
@@ -680,10 +707,11 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
     verbose(1, "DONE\n\n")
     verbose(1, "5. write the (new) breaking and the broken chains to %s "
                "...\n" % out_chain_path)
-    # suspect chains were emitted during the loop, in removal order
-    for sus in cleaner.suspect_chains:
-        unsorted.write(sus.to_text())
-    cleaner.write_chains_of_interest(unsorted)
+    # pre-sort order = pass-through (input order), suspects (removal
+    # order), chains of interest (hashTraverseEls order) - exactly the
+    # reference's unsorted temp-file order before chainSort
+    out_list = (passthrough + cleaner.suspect_chains
+                + cleaner.chains_of_interest_for_output())
     verbose(1, "DONE\n\n")
 
     with open(out_bed_path, "w") as f:
@@ -695,14 +723,11 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
 
     # chainSort (score desc, stable)
     verbose(1, "6. chainSort %s ...\n" % out_chain_path)
-    from ..formats.chain import read_chains, sort_chains_by_score, write_chains
-    meta_lines: list[str] = []
-    chains = read_chains(io.StringIO(unsorted.getvalue()),
-                         meta_out=meta_lines.append)
+    from ..formats.chain import sort_chains_by_score, write_chains
     with open(out_chain_path, "w") as outf:
         for line in meta_lines:
             outf.write(line + "\n")
-        write_chains(sort_chains_by_score(chains), outf)
+        write_chains(sort_chains_by_score(out_list), outf)
     verbose(1, "DONE\n\n")
     print_mem()
     verbose(1, "\nALL DONE. New chains are in %s. Deleted suspects in %s\n"

@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..device.genome import Genome
+from ..device.genome import open_genome
 from ..formats.chain import Chain, iter_chains
 from ..formats.chromsizes import read_chrom_sizes
 from ..formats.gapcalc import gap_calc_from_file
@@ -300,27 +300,7 @@ class Netter:
     # -- output -------------------------------------------------------------
     def _subchain_info(self, chain: Chain, start: int, end: int, is_q: bool,
                       rescorer) -> tuple[int, float]:
-        """subchainInfo (chainNet.c:795-843): (subSize, subScore)."""
-        b = chain.blocks
-        full_size = int((b[:, 1] - b[:, 0]).sum())
-        if is_q:
-            if chain.q_strand == "-":
-                start, end = chain.q_size - end, chain.q_size - start
-            if start <= chain.q_start and end >= chain.q_end:
-                return full_size, chain.score
-            inter = np.minimum(b[:, 3], end) - np.maximum(b[:, 2], start)
-            sub_size = int(np.maximum(inter, 0).sum())
-            return sub_size, chain.score * sub_size / full_size
-        if start <= chain.t_start and end >= chain.t_end:
-            return full_size, chain.score
-        inter = np.minimum(b[:, 1], end) - np.maximum(b[:, 0], start)
-        sub_size = int(np.maximum(inter, 0).sum())
-        if rescorer is not None:
-            score = rescorer(chain, start, end)
-            if score <= 0:
-                score = 1.0
-            return sub_size, score
-        return sub_size, chain.score * sub_size / full_size
+        return _subchain_info(chain, start, end, is_q, rescorer)
 
     def iter_fills(self, is_q: bool):
         """All fills on one side, output order (for batched rescoring)."""
@@ -370,6 +350,187 @@ class Netter:
             self._out_fill(out, fill, depth + 1, is_q, rescorer)
 
 
+def _subchain_info(chain: Chain, start: int, end: int, is_q: bool,
+                   rescorer) -> tuple[int, float]:
+    """subchainInfo (chainNet.c:795-843): (subSize, subScore)."""
+    b = chain.blocks
+    full_size = int((b[:, 1] - b[:, 0]).sum())
+    if is_q:
+        if chain.q_strand == "-":
+            start, end = chain.q_size - end, chain.q_size - start
+        if start <= chain.q_start and end >= chain.q_end:
+            return full_size, chain.score
+        inter = np.minimum(b[:, 3], end) - np.maximum(b[:, 2], start)
+        sub_size = int(np.maximum(inter, 0).sum())
+        return sub_size, chain.score * sub_size / full_size
+    if start <= chain.t_start and end >= chain.t_end:
+        return full_size, chain.score
+    inter = np.minimum(b[:, 1], end) - np.maximum(b[:, 0], start)
+    sub_size = int(np.maximum(inter, 0).sum())
+    if rescorer is not None:
+        score = rescorer(chain, start, end)
+        if score <= 0:
+            score = 1.0
+        return sub_size, score
+    return sub_size, chain.score * sub_size / full_size
+
+
+class _FillView:
+    """Lightweight fill handle from the native net tree (rescore batching
+    + writer share coordinates through this)."""
+    __slots__ = ("chain", "start", "end")
+
+    def __init__(self, chain, start, end):
+        self.chain = chain
+        self.start = start
+        self.end = end
+
+
+class NativeNetTree:
+    """Net tree built by the native sweep (native/netsweep.cpp); exposes
+    the same iter_fills/output_side surface as Netter.  Nodes are DFS
+    (= output) order int64 rows [is_gap, depth, start, end, o_start,
+    o_end, chain_idx]; a fill that fails the output thresholds prunes its
+    whole subtree (rOutputFill, chainNet.c:858-878)."""
+
+    def __init__(self, chains, t_names, t_sizes, q_names, q_sizes,
+                 nodes_t, segs_t, nodes_q, segs_q,
+                 min_space, min_fill, min_score):
+        self.chains = chains
+        self.t_names, self.t_sizes = t_names, t_sizes
+        self.q_names, self.q_sizes = q_names, q_sizes
+        self.nodes_t, self.segs_t = nodes_t, segs_t
+        self.nodes_q, self.segs_q = nodes_q, segs_q
+        self.min_space = min_space
+        self.min_fill = min_space // 2 if min_fill is None else min_fill
+        self.min_score = min_score
+
+    def _side(self, is_q):
+        return ((self.nodes_q, self.segs_q, self.q_names, self.q_sizes)
+                if is_q else
+                (self.nodes_t, self.segs_t, self.t_names, self.t_sizes))
+
+    def iter_fills(self, is_q: bool):
+        nodes, _, _, _ = self._side(is_q)
+        for row in nodes:
+            if row[0] == 0:
+                yield _FillView(self.chains[int(row[6])], int(row[2]),
+                                int(row[3]))
+
+    def output_side(self, out, is_q: bool, rescorer=None) -> None:
+        nodes_arr, segs, names, sizes = self._side(is_q)
+        nodes = nodes_arr.tolist()  # plain ints: ~5x faster walk
+        chains = self.chains
+        for ci, lo, hi in segs:
+            out.write(f"net {names[ci]} {sizes[ci]}\n")
+            i = int(lo)
+            hi = int(hi)
+            while i < hi:
+                is_gap, depth, s, e, os_, oe, cidx = nodes[i]
+                chain = chains[cidx]
+                o_chrom = chain.t_name if is_q else chain.q_name
+                if is_gap:
+                    out.write(" " * depth +
+                              f"gap {s} {e - s} {o_chrom} {chain.q_strand} "
+                              f"{os_} {oe - os_}\n")
+                    i += 1
+                    continue
+                sub_size, sub_score = _subchain_info(
+                    chain, s, e, is_q, rescorer)
+                if sub_score >= self.min_score and sub_size >= self.min_fill:
+                    out.write(" " * depth +
+                              f"fill {s} {e - s} {o_chrom} {chain.q_strand} "
+                              f"{os_} {oe - os_} id {chain.id} "
+                              f"score {sub_score:.0f} ali {sub_size}\n")
+                    i += 1
+                else:  # prune the whole subtree
+                    j = i + 1
+                    while j < hi and nodes[j][1] > depth:
+                        j += 1
+                    i = j
+
+
+def _native_net_tree(chains, t_sizes: dict, q_sizes: dict, min_space: int,
+                     min_fill: int | None, min_score: float,
+                     incl_hap: bool) -> "NativeNetTree | None":
+    """Run the native sweep over pre-validated chains; None if the native
+    library is unavailable."""
+    import ctypes
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    t_names = list(t_sizes)
+    q_names = list(q_sizes)
+    t_idx = {n: i for i, n in enumerate(t_names)}
+    q_idx = {n: i for i, n in enumerate(q_names)}
+    added = []
+    for chain in chains:
+        if chain.q_name not in q_idx:
+            raise KeyError(f"{chain.q_name} not in query sizes")
+        if chain.t_name not in t_idx:
+            raise KeyError(f"{chain.t_name} not in target sizes")
+        if q_sizes[chain.q_name] != chain.q_size:
+            raise ValueError(f"{chain.q_name} size mismatch: "
+                             f"{chain.q_size} vs {q_sizes[chain.q_name]}")
+        if t_sizes[chain.t_name] != chain.t_size:
+            raise ValueError(f"{chain.t_name} size mismatch: "
+                             f"{chain.t_size} vs {t_sizes[chain.t_name]}")
+        if not incl_hap and ("_hap" in chain.q_name or "_alt" in chain.q_name):
+            continue
+        added.append(chain)
+
+    n = len(added)
+    t_ci = np.array([t_idx[c.t_name] for c in added], np.int32)
+    q_ci = np.array([q_idx[c.q_name] for c in added], np.int32)
+    minus = np.array([c.q_strand == "-" for c in added], np.uint8)
+    t_bounds = np.array([[c.t_start, c.t_end] for c in added],
+                        np.int64).reshape(n, 2)
+    block_off = np.zeros(n + 1, np.int64)
+    for i, c in enumerate(added):
+        block_off[i + 1] = block_off[i] + c.n_blocks
+    blocks = (np.concatenate([c.blocks for c in added])
+              if added else np.zeros((0, 4))).astype(np.int64)
+    blocks = np.ascontiguousarray(blocks)
+    t_sz = np.array([t_sizes[nm] for nm in t_names], np.int64)
+    q_sz = np.array([q_sizes[nm] for nm in q_names], np.int64)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    res_p = lib.gat_net_sweep(
+        n, t_ci.ctypes.data_as(i32p), q_ci.ctypes.data_as(i32p),
+        minus.ctypes.data_as(u8p),
+        np.ascontiguousarray(t_bounds).ctypes.data_as(i64p),
+        block_off.ctypes.data_as(i64p), blocks.ctypes.data_as(i64p),
+        len(t_names), t_sz.ctypes.data_as(i64p),
+        len(q_names), q_sz.ctypes.data_as(i64p),
+        min_space, min_space // 2 if min_fill is None else min_fill)
+    try:
+        res = res_p.contents
+        err = bytes(res.error).split(b"\0")[0]
+        if err:
+            raise AssertionError(err.decode())
+
+        def grab(ptr, count, width):
+            if count == 0:
+                return np.zeros((0, width), np.int64)
+            return np.ctypeslib.as_array(
+                ptr, shape=(count, width)).copy()
+
+        nodes_t = grab(res.t_nodes, res.t_n_nodes, 7)
+        segs_t = grab(res.t_chrom_seg, res.t_n_chroms, 3)
+        nodes_q = grab(res.q_nodes, res.q_n_nodes, 7)
+        segs_q = grab(res.q_chrom_seg, res.q_n_chroms, 3)
+    finally:
+        lib.gat_net_free(res_p)
+    return NativeNetTree(added, t_names, [t_sizes[nm] for nm in t_names],
+                         q_names, [q_sizes[nm] for nm in q_names],
+                         nodes_t, segs_t, nodes_q, segs_q,
+                         min_space, min_fill, min_score)
+
+
 def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
               t_net_out, q_net_out,
               min_space: int = 25, min_fill: int | None = None,
@@ -397,26 +558,42 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
                 from ..ops.rescore import DeviceChainScorer
                 scorer_factory = DeviceChainScorer
         factory = scorer_factory or ChainScorer
-        scorer = factory(scheme, gap_calc, Genome(t_2bit), Genome(q_2bit))
+        scorer = factory(scheme, gap_calc, open_genome(t_2bit),
+                         open_genome(q_2bit))
 
         def rescorer(chain: Chain, start: int, end: int) -> float:
             return scorer.global_score(chain.subset_on_t(start, end))
     else:
         rescorer = None
 
-    netter = Netter(read_chrom_sizes(t_sizes_file),
-                    read_chrom_sizes(q_sizes_file),
-                    min_space=min_space, min_fill=min_fill,
-                    min_score=min_score, incl_hap=incl_hap)
+    t_sizes = read_chrom_sizes(t_sizes_file)
+    q_sizes = read_chrom_sizes(q_sizes_file)
+    from ..formats.chain import read_chains
+    if isinstance(chain_file, list):  # pre-parsed (chainCleaner shares)
+        all_chains = chain_file
+    elif isinstance(chain_file, str):
+        all_chains = read_chains(chain_file)
+    else:
+        all_chains = list(iter_chains(chain_file))
     last_score = -1.0
-    for chain in iter_chains(chain_file):
+    kept: list[Chain] = []
+    for chain in all_chains:
         if last_score >= 0 and chain.score > last_score:
-            raise ValueError(f"{chain_file} must be sorted in order of score")
+            raise ValueError("input chains must be sorted in order of score")
         last_score = chain.score
-        if chain.score < netter.min_score:
+        if chain.score < min_score:
             break
-        netter.add_chain(chain)
-    netter.finish()
+        kept.append(chain)
+    netter = _native_net_tree(kept, t_sizes, q_sizes, min_space=min_space,
+                              min_fill=min_fill, min_score=min_score,
+                              incl_hap=incl_hap)
+    if netter is None:  # pure-python fallback (bit-identical)
+        netter = Netter(t_sizes, q_sizes, min_space=min_space,
+                        min_fill=min_fill, min_score=min_score,
+                        incl_hap=incl_hap)
+        for chain in kept:
+            netter.add_chain(chain)
+        netter.finish()
     if rescorer is not None and hasattr(scorer, "score_chains"):
         # exact sub-net rescoring, fully batched: every fill's target-side
         # sub-chain is cut on host and the whole set is scored in one
@@ -446,7 +623,8 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
                 return hit[1]
             return scorer.global_score(chain.subset_on_t(start, end))
     netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
-    netter.output_side(q_net_out, is_q=True, rescorer=None)
+    if q_net_out is not None:
+        netter.output_side(q_net_out, is_q=True, rescorer=None)
 
 
 def chain_net_main(argv: list[str]) -> int:

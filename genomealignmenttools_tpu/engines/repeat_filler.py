@@ -26,7 +26,7 @@ import sys
 
 import numpy as np
 
-from ..device.genome import Genome
+from ..device.genome import open_genome
 from ..formats.chain import Chain
 from ..formats.gapcalc import gap_calc_from_file
 from ..formats.scorematrix import score_scheme_default
@@ -219,8 +219,8 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
 
     scheme = score_scheme_default()
     gap_calc = gap_calc_from_file("loose")
-    t_genome = Genome(t_2bit)
-    q_genome = Genome(q_2bit)
+    t_genome = open_genome(t_2bit)
+    q_genome = open_genome(q_2bit)
     aligner = GapAligner(scheme.lut, seed_len=seed_len,
                          hsp_threshold=hsp_threshold)
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import sys
 
-from ..device.genome import Genome
+from ..device.genome import open_genome
 from ..formats.chain import format_score, iter_chains
 from ..formats.gapcalc import gap_calc_from_file
 from ..formats.scorematrix import read_score_scheme, score_scheme_default
@@ -43,8 +43,8 @@ def score_chain_file(
 
     scheme = read_score_scheme(score_scheme) if score_scheme else score_scheme_default()
     gap_calc = gap_calc_from_file(linear_gap)
-    t_genome = Genome(t_2bit)
-    q_genome = Genome(q_2bit)
+    t_genome = open_genome(t_2bit)
+    q_genome = open_genome(q_2bit)
     if scorer_factory is None:
         # device-batched scorer on accelerator backends (bit-identical to
         # the host path; scores the whole file in one device round trip),

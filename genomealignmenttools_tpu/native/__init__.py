@@ -16,7 +16,8 @@ _SO = os.path.join(_DIR, "libgatnative.so")
 _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "pairpack.cpp"),
          os.path.join(_DIR, "twobitdec.cpp"),
-         os.path.join(_DIR, "chainblocks.cpp")]
+         os.path.join(_DIR, "chainblocks.cpp"),
+         os.path.join(_DIR, "netsweep.cpp")]
 
 _lib = None
 _tried = False
@@ -124,6 +125,33 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_double),
     ]
+    class GatNetResult(ctypes.Structure):
+        _fields_ = [
+            ("t_n_nodes", ctypes.c_int64),
+            ("t_nodes", ctypes.POINTER(ctypes.c_int64)),
+            ("t_n_chroms", ctypes.c_int64),
+            ("t_chrom_seg", ctypes.POINTER(ctypes.c_int64)),
+            ("q_n_nodes", ctypes.c_int64),
+            ("q_nodes", ctypes.POINTER(ctypes.c_int64)),
+            ("q_n_chroms", ctypes.c_int64),
+            ("q_chrom_seg", ctypes.POINTER(ctypes.c_int64)),
+            ("error", ctypes.c_char * 256),
+            ("state", ctypes.c_void_p),
+        ]
+
+    lib.GatNetResult = GatNetResult
+    lib.gat_net_sweep.restype = ctypes.POINTER(GatNetResult)
+    lib.gat_net_sweep.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.gat_net_free.argtypes = [ctypes.POINTER(GatNetResult)]
+
     lib.gat_expand_blocks.restype = None
     lib.gat_expand_blocks.argtypes = [
         ctypes.c_int64, ctypes.c_int64,

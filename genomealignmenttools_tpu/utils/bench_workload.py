@@ -205,7 +205,7 @@ def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
         "t_sizes": os.path.join(out_dir, "ct.sizes"),
         "q_sizes": os.path.join(out_dir, "cq.sizes"),
     }
-    key = f"{n_scenarios},{n_bulk},{seed},v3"
+    key = f"{n_scenarios},{n_bulk},{seed},v4"
     if os.path.exists(meta_path) and \
             open(meta_path).read().split("\n")[0] == key:
         return dict(paths, n_scenarios=n_scenarios, n_bulk=n_bulk)
@@ -214,8 +214,8 @@ def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
     from ..formats.twobit import write_twobit
 
     rng = np.random.default_rng(seed)
-    scen_span_t, scen_span_q = 120_000, 80_000
-    bulk_span_t, bulk_span_q = 3_000, 2_400
+    scen_span_t, scen_span_q = 120_000, 90_000
+    bulk_span_t, bulk_span_q = 3_000, 3_000
     t_size = n_scenarios * scen_span_t + n_bulk * bulk_span_t + 100_000
     q_size = n_scenarios * scen_span_q + n_bulk * bulk_span_q + 100_000
     t_seq = BASES[np.frombuffer(rng.bytes(t_size), np.uint8) & 3]
@@ -238,11 +238,19 @@ def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
             q_start=int(blocks[0, 2]), q_end=int(blocks[-1, 3]),
             id=0, blocks=blocks))
 
+    # Each chain gets a private query-coordinate slot.  '-'-strand chain
+    # coordinates live on the reverse complement, whose PLUS-strand
+    # footprint is mirrored to the far end of the chromosome - so minus
+    # chains are addressed in the mirrored frame of their own slot, keeping
+    # every planted region disjoint on the actual (plus) sequence.
     scenarios = []  # (strand, a_blocks, s_blocks, b_blocks, c_blocks)
     for i in range(n_scenarios):
         t0 = i * scen_span_t + 10_000
-        q0 = i * scen_span_q + 5_000
         strand = "+" if i % 3 else "-"
+        if strand == "+":
+            q0 = i * scen_span_q + 5_000
+        else:
+            q0 = q_size - i * scen_span_q - 55_000
         # breaking chain P: anchorA + weak suspect + anchorB.  Geometry is
         # varied per scenario (anchor/suspect/broken block sizes) so the
         # rescored output scores are spread out - C's chainSort breaks
@@ -265,7 +273,7 @@ def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
         _plant(t_seq, q_seq, b_blocks, strand, 0.93, rng)
         chains.append(mk_chain(p_blocks, strand, 5_000_000 - i))
         # broken chain C: fills P's two big gaps (plus strand)
-        cq0 = q0 + 50_000
+        cq0 = i * scen_span_q + 61_000
         l_blocks = colinear(gap1_start + 500, cq0, 8, b_bs, 5, 120)
         r_blocks = colinear(sus_t + sus_len + 500, int(l_blocks[-1, 3]) + 400,
                             8, b_bs, 5, 120)
@@ -278,8 +286,11 @@ def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
     bulk_q0 = n_scenarios * scen_span_q + 50_000
     for i in range(n_bulk):
         t0 = bulk_t0 + i * bulk_span_t
-        q0 = bulk_q0 + i * bulk_span_q
         strand = "+" if i % 4 else "-"
+        if strand == "+":
+            q0 = bulk_q0 + i * bulk_span_q + 100
+        else:
+            q0 = q_size - (bulk_q0 + i * bulk_span_q + 2_900)
         blocks = colinear(t0, q0, 12, int(rng.integers(60, 180)), 0, 50)
         _plant(t_seq, q_seq, blocks, strand, 0.90, rng)
         chains.append(mk_chain(blocks, strand, 100_001 + i))
