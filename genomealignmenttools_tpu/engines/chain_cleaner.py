@@ -656,6 +656,28 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
     meta_lines: list[str] = []
     all_chains = _read_chain_file(in_chain, meta_out=meta_lines.append)
 
+    # overlap genome decode (+ '-'-strand revcomp) with the netting /
+    # filtering stages: the scorers only touch sequences once breaks are
+    # known.  Benign race: Genome caches per chrom, a concurrent first
+    # access at worst decodes twice.
+    import threading
+
+    def _prefetch_codes():
+        try:
+            seen_t, seen_q = set(), set()
+            for c in all_chains:
+                if c.t_name not in seen_t:
+                    seen_t.add(c.t_name)
+                    t_genome.codes(c.t_name, "+")
+                qk = (c.q_name, c.q_strand)
+                if qk not in seen_q:
+                    seen_q.add(qk)
+                    q_genome.codes(c.q_name, c.q_strand)
+        except Exception:
+            pass  # scoring will surface any real error
+
+    threading.Thread(target=_prefetch_codes, daemon=True).start()
+
     if net_file is None:
         if t_sizes is None or q_sizes is None:
             raise ValueError("need -tSizes/-qSizes when no -net is given")

@@ -53,6 +53,40 @@ void gat_pack_pairs(const uint8_t* t_codes, const uint8_t* q_codes,
     for (auto& th : threads) th.join();
 }
 
+// Combined-code variant: one byte per aligned base, q*5+t in 0..24
+// (pad 24 = N/N, scoring 0).  Halves the host->device transfer relative
+// to separate t/q tiles - the dominant cost on narrow links.
+void gat_pack_pairs_combined(const uint8_t* t_codes, const uint8_t* q_codes,
+                             const int64_t* c_toff, const int64_t* c_qoff,
+                             const int64_t* c_len, int64_t n_chunks,
+                             int64_t chunk, uint8_t* out, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t len = c_len[i];
+            uint8_t* row = out + i * chunk;
+            const uint8_t* tp = t_codes + c_toff[i];
+            const uint8_t* qp = q_codes + c_qoff[i];
+            for (int64_t j = 0; j < len; ++j)
+                row[j] = (uint8_t)(qp[j] * 5 + tp[j]);
+            if (len < chunk) std::memset(row + len, 24, chunk - len);
+        }
+    };
+    if (n_threads == 1 || n_chunks < 4096) {
+        worker(0, n_chunks);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n_chunks + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per;
+        int64_t hi = lo + per < n_chunks ? lo + per : n_chunks;
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // Sorted-segment sum: add chunk scores into per-block totals.
 //   chunk_scores: n_chunks int32, c_block: sorted block id per chunk
 //   out: n_blocks int64, must be zero-initialized

@@ -44,11 +44,11 @@ CHUNK = 128          # bases per packed row (one lane vreg; |chunk sum| < 2^15)
 ROW_PAD = 1024       # row-count bucket granularity (compile-shape reuse)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _pair_scores_kernel(t8, q8, packed_lut):
-    """(M, CHUNK) uint8 pair tiles -> (M,) int16 chunk scores."""
-    t = t8.astype(jnp.int32)
-    q = q8.astype(jnp.int32)
+def _pair_vals(c8, packed_lut):
+    """(M, CHUNK) combined q*5+t bytes -> per-base int32 scores."""
+    c = c8.astype(jnp.int32)
+    q = c // 5
+    t = c - q * 5
     packed = jnp.where(q == 0, packed_lut[0],
                        jnp.where(q == 1, packed_lut[1],
                                  jnp.where(q == 2, packed_lut[2],
@@ -56,8 +56,13 @@ def _pair_scores_kernel(t8, q8, packed_lut):
                                                      0))))
     v = jax.lax.shift_right_logical(packed, jnp.minimum(t, 3) * 8) & 0xFF
     val = v - ((v & 0x80) << 1)  # sign-extend the byte
-    val = jnp.where((t < 4) & (q < 4), val, 0)
-    return jnp.sum(val, axis=1, dtype=jnp.int16)
+    return jnp.where((t < 4) & (q < 4), val, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pair_scores_kernel(c8, packed_lut):
+    """(M, CHUNK) combined pair tiles -> (M,) int16 chunk scores."""
+    return jnp.sum(_pair_vals(c8, packed_lut), axis=1, dtype=jnp.int16)
 
 
 def chunk_blocks(blocks: np.ndarray, chunk: int = CHUNK):
@@ -101,19 +106,45 @@ def _fill_pairs(t_codes, q_codes, c_toff, c_qoff, c_len, t8, q8, m,
         q8[:m] = np.where(valid, q_codes[q_idx], 4)
 
 
+def _fill_combined(t_codes, q_codes, c_toff, c_qoff, c_len, c8, m,
+                   chunk: int):
+    """Fill rows [0, m) of c8 with combined q*5+t codes (pad 24)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "gat_pack_pairs_combined"):
+        import ctypes
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gat_pack_pairs_combined(
+            t_codes.ctypes.data_as(u8p), q_codes.ctypes.data_as(u8p),
+            c_toff.ctypes.data_as(i64p), c_qoff.ctypes.data_as(i64p),
+            c_len.ctypes.data_as(i64p), m, chunk,
+            c8.ctypes.data_as(u8p), min(os.cpu_count() or 1, 16))
+    else:
+        lane = np.arange(chunk, dtype=np.int64)
+        t_idx = np.minimum(c_toff[:, None] + lane, t_codes.shape[0] - 1)
+        q_idx = np.minimum(c_qoff[:, None] + lane, q_codes.shape[0] - 1)
+        valid = lane < c_len[:, None]
+        c8[:m] = np.where(valid,
+                          q_codes[q_idx].astype(np.uint8) * 5
+                          + t_codes[t_idx], 24)
+
+
+
 def pack_pairs(t_codes: np.ndarray, q_codes: np.ndarray,
                blocks: np.ndarray, chunk: int = CHUNK):
-    """Dense (M_pad, chunk) uint8 t/q tiles + chunk->block map."""
+    """Dense (M_pad, chunk) uint8 combined q*5+t tiles + chunk->block
+    map.  One byte per aligned base (pad 24 = N/N) - half the transfer of
+    separate t/q tiles."""
     c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks, chunk)
     m = c_toff.shape[0]
     m_pad = ((m + ROW_PAD - 1) // ROW_PAD) * ROW_PAD
-    t8 = np.empty((m_pad, chunk), np.uint8)
-    q8 = np.empty((m_pad, chunk), np.uint8)
-    t8[m:] = 4
-    q8[m:] = 4
-    _fill_pairs(np.ascontiguousarray(t_codes), np.ascontiguousarray(q_codes),
-                c_toff, c_qoff, c_len, t8, q8, m, chunk)
-    return t8, q8, c_block, m
+    c8 = np.empty((m_pad, chunk), np.uint8)
+    c8[m:] = 24
+    _fill_combined(np.ascontiguousarray(t_codes),
+                   np.ascontiguousarray(q_codes),
+                   c_toff, c_qoff, c_len, c8, m, chunk)
+    return c8, c_block, m
 
 
 class PairBlockScorer:
@@ -150,25 +181,22 @@ class PairBlockScorer:
             block_base += blocks.shape[0]
         m = sum(p[2].shape[0] for p in parts)
         m_pad = ((m + ROW_PAD - 1) // ROW_PAD) * ROW_PAD
-        t8 = np.empty((m_pad, CHUNK), np.uint8)
-        q8 = np.empty((m_pad, CHUNK), np.uint8)
-        t8[m:] = 4
-        q8[m:] = 4
+        c8 = np.empty((m_pad, CHUNK), np.uint8)
+        c8[m:] = 24
         row = 0
         for (tc, qc, c_toff, c_qoff, c_len) in parts:
             k = c_toff.shape[0]
-            _fill_pairs(np.ascontiguousarray(tc), np.ascontiguousarray(qc),
-                        c_toff, c_qoff, c_len, t8[row:row + k],
-                        q8[row:row + k], k, CHUNK)
+            _fill_combined(np.ascontiguousarray(tc),
+                           np.ascontiguousarray(qc),
+                           c_toff, c_qoff, c_len, c8[row:row + k], k, CHUNK)
             row += k
         c_block_all = np.concatenate(c_blocks) if c_blocks \
             else np.zeros(0, np.int64)
         if self.tile_sharding is not None:
-            dev_t8 = jax.device_put(t8, self.tile_sharding)
-            dev_q8 = jax.device_put(q8, self.tile_sharding)
+            dev_c8 = jax.device_put(c8, self.tile_sharding)
         else:
-            dev_t8, dev_q8 = jnp.asarray(t8), jnp.asarray(q8)
-        packed = (dev_t8, dev_q8, c_block_all, m, block_base)
+            dev_c8 = jnp.asarray(c8)
+        packed = (dev_c8, c_block_all, m, block_base)
         if len(self._pack_cache) > 16:
             self._pack_cache.clear()
         self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
@@ -177,9 +205,8 @@ class PairBlockScorer:
     def chunk_scores_multi(self, jobs):
         """One device round trip: (chunk_scores int16[m], c_block, n_blocks).
         """
-        dev_t8, dev_q8, c_block, m, n_blocks = self._pack_multi(jobs)
-        cs = np.asarray(_pair_scores_kernel(dev_t8, dev_q8,
-                                            self.packed_lut))[:m]
+        dev_c8, c_block, m, n_blocks = self._pack_multi(jobs)
+        cs = np.asarray(_pair_scores_kernel(dev_c8, self.packed_lut))[:m]
         return cs, c_block, n_blocks
 
     def block_scores_multi(self, jobs) -> np.ndarray:
@@ -231,19 +258,9 @@ _R_COMBINE = 512     # row width for the tiled cumulative passes
 
 
 @jax.jit
-def _chunk_sums_i32(t8, q8, packed_lut):
-    """(M, CHUNK) uint8 pair tiles -> (M,) int32 chunk scores."""
-    t = t8.astype(jnp.int32)
-    q = q8.astype(jnp.int32)
-    packed = jnp.where(q == 0, packed_lut[0],
-                       jnp.where(q == 1, packed_lut[1],
-                                 jnp.where(q == 2, packed_lut[2],
-                                           jnp.where(q == 3, packed_lut[3],
-                                                     0))))
-    v = jax.lax.shift_right_logical(packed, jnp.minimum(t, 3) * 8) & 0xFF
-    val = v - ((v & 0x80) << 1)
-    val = jnp.where((t < 4) & (q < 4), val, 0)
-    return jnp.sum(val, axis=1, dtype=jnp.int32)
+def _chunk_sums_i32(c8, packed_lut):
+    """(M, CHUNK) combined pair tiles -> (M,) int32 chunk scores."""
+    return jnp.sum(_pair_vals(c8, packed_lut), axis=1, dtype=jnp.int32)
 
 
 # --- staged combine pipeline -------------------------------------------------
@@ -350,12 +367,12 @@ def _stage_finish(wmax, c, chain_of64, end_idx):
     return jnp.stack([glob, loc], axis=1)
 
 
-def _pair_chain_scores(t8, q8, packed_lut, bias, first, sample,
+def _pair_chain_scores(c8, packed_lut, bias, first, sample,
                        chain_of, start_idx, end_idx):
     """-> (n_chains, 2) int64 [global, local]; one host<->device sync."""
-    n = t8.shape[0]
+    n = c8.shape[0]
     with jax.enable_x64(True):
-        s = _chunk_sums_i32(t8, q8, packed_lut)
+        s = _chunk_sums_i32(c8, packed_lut)
         g = _stage_cumsum(_stage_delta(s, bias), n)
         chain_of64 = chain_of.astype(jnp.int64)
         c = _stage_seg_base(g, start_idx, chain_of)
@@ -387,8 +404,8 @@ class PairChainScorer:
                                    zip(hit[0], jobs)):
             return hit[1]
         from ..engines.scoring import gap_costs
-        dev_t8, dev_q8, c_block, m, n_blocks = self.pair._pack_multi(jobs)
-        m_pad = dev_t8.shape[0]
+        dev_c8, c_block, m, n_blocks = self.pair._pack_multi(jobs)
+        m_pad = dev_c8.shape[0]
         # per-block metadata across the concatenated job blocks
         all_blocks = np.concatenate([b for (_, _, _, b) in jobs])
         chain_of_block = np.repeat(np.arange(len(chain_nblocks)),
@@ -442,7 +459,7 @@ class PairChainScorer:
             put = lambda x: jax.device_put(x, self.meta_sharding)
         else:
             put = jnp.asarray
-        meta = (dev_t8, dev_q8, put(bias), put(first_chunk), put(sample),
+        meta = (dev_c8, put(bias), put(first_chunk), put(sample),
                 put(chain_of), jnp.asarray(start_idx),
                 jnp.asarray(end_idx), ali)
         if len(self._meta_cache) > 8:
@@ -452,10 +469,10 @@ class PairChainScorer:
 
     def score(self, jobs, chain_nblocks: list[int]):
         """[(global, local, ali)] per chain, one device sync."""
-        (dev_t8, dev_q8, bias, first, sample, chain_of, start_idx,
+        (dev_c8, bias, first, sample, chain_of, start_idx,
          end_idx, ali) = self._meta(jobs, chain_nblocks)
         out = np.asarray(_pair_chain_scores(
-            dev_t8, dev_q8, self.pair.packed_lut, bias, first, sample,
+            dev_c8, self.pair.packed_lut, bias, first, sample,
             chain_of, start_idx, end_idx))
         return [(float(out[i, 0]), float(out[i, 1]), int(ali[i]))
                 for i in range(len(chain_nblocks))]

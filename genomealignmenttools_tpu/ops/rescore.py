@@ -26,12 +26,26 @@ so XLA compiles a handful of program shapes regardless of input sizes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..device.genome import Genome
+
+# Persistent compilation cache: first-run jit compiles through the remote
+# TPU link cost tens of seconds; cache them across processes.  No-op if
+# the backend doesn't support executable serialization.
+if not jax.config.jax_compilation_cache_dir:
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GAT_JAX_CACHE",
+                           os.path.expanduser("~/.cache/gat_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def _next_pow2(n: int, floor: int = 1024) -> int:

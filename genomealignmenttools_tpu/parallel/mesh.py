@@ -105,30 +105,23 @@ class ShardedBlockScorer:
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
-def _sharded_pair_scores(t8, q8, packed_lut, mesh: Mesh):
+def _sharded_pair_scores(c8, packed_lut, mesh: Mesh):
     """Pair-tile chunk scores with rows sharded over the data axis.
 
     Rows are independent, so the shard_map body is just the single-chip
-    pair kernel; no collectives are needed until the (tiny) host combine.
+    combined-tile pair kernel; no collectives are needed until the (tiny)
+    host combine.
     """
-    def body(t, q, pl):
-        t32 = t.astype(jnp.int32)
-        q32 = q.astype(jnp.int32)
-        packed = jnp.where(q32 == 0, pl[0],
-                           jnp.where(q32 == 1, pl[1],
-                                     jnp.where(q32 == 2, pl[2],
-                                               jnp.where(q32 == 3, pl[3],
-                                                         0))))
-        v = jax.lax.shift_right_logical(packed, jnp.minimum(t32, 3) * 8) & 0xFF
-        val = v - ((v & 0x80) << 1)
-        val = jnp.where((t32 < 4) & (q32 < 4), val, 0)
-        return jnp.sum(val, axis=1, dtype=jnp.int16)
+    from ..ops.pair_rescore import _pair_vals
+
+    def body(c, pl):
+        return jnp.sum(_pair_vals(c, pl), axis=1, dtype=jnp.int16)
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("data"), P("data"), P()),
+        in_specs=(P("data"), P()),
         out_specs=P("data"),
-    )(t8, q8, packed_lut)
+    )(c8, packed_lut)
 
 
 class ShardedPairScorer:
@@ -142,15 +135,14 @@ class ShardedPairScorer:
         self.packed_lut = jnp.asarray(pack_lut(np.asarray(lut)))
         self.n_dev = self.mesh.devices.size
 
-    def chunk_scores(self, t8: np.ndarray, q8: np.ndarray) -> np.ndarray:
-        """(M_pad, CHUNK) uint8 tiles -> int16[M_pad] chunk scores.
+    def chunk_scores(self, c8: np.ndarray) -> np.ndarray:
+        """(M_pad, CHUNK) combined uint8 tiles -> int16[M_pad] scores.
 
         M_pad must be divisible by the device count (ROW_PAD=1024 covers
         any power-of-two mesh)."""
         sharding = NamedSharding(self.mesh, P("data"))
         out = _sharded_pair_scores(
-            jax.device_put(jnp.asarray(t8), sharding),
-            jax.device_put(jnp.asarray(q8), sharding),
+            jax.device_put(jnp.asarray(c8), sharding),
             self.packed_lut, self.mesh)
         return np.asarray(out)
 

@@ -50,11 +50,11 @@ def test_sharded_pair_scores_match_host(fixtures_dir):
     host = ChainScorer(scheme, gap_calc_default(), t_genome, q_genome)
     blocks = np.concatenate([c.blocks for c in chains])
     expected = np.concatenate([host.score_arrays(c)[0] for c in chains])
-    t8, q8, c_block, m = pack_pairs(t_genome.codes("chrA", "+"),
-                                    q_genome.codes("chrQ1", "-"), blocks)
+    c8, c_block, m = pack_pairs(t_genome.codes("chrA", "+"),
+                                 q_genome.codes("chrQ1", "-"), blocks)
     for n_dev in (1, 2, 8):
         scorer = ShardedPairScorer(np.asarray(scheme.lut), make_mesh(n_dev))
-        cs = scorer.chunk_scores(t8, q8)[:m]
+        cs = scorer.chunk_scores(c8)[:m]
         got = np.zeros(blocks.shape[0], np.int64)
         np.add.at(got, c_block, cs.astype(np.int64))
         assert np.array_equal(got, expected), f"mismatch at n_dev={n_dev}"
