@@ -15,7 +15,7 @@ import sys
 
 import numpy as np
 
-from ..device.genome import Genome, revcomp_codes
+from ..device.genome import Genome, open_genome, revcomp_codes
 from ..formats.axt import axt_to_blocks, read_axts
 from ..formats.chain import Chain, write_chains
 from ..formats.gapcalc import GapCalc, gap_calc_from_file
@@ -91,15 +91,21 @@ def chain_pair(sp: SeqPair, q_codes, t_codes, q_size, t_size,
     return kept
 
 
-def axt_chain(in_path: str, t_2bit: str, q_2bit: str, out_path,
+def axt_chain(in_path: str, t_seq_src: str, q_seq_src: str, out_path,
               linear_gap: str, score_scheme: str | None = None,
-              min_score: int = 1000, is_psl: bool = False) -> None:
-    """Full axtChain run, byte-identical output."""
+              min_score: int = 1000, is_psl: bool = False,
+              fa_t: bool = False, fa_q: bool = False) -> None:
+    """Full axtChain run, byte-identical output.
+
+    Sequence sources follow the reference's loading rules
+    (axtChain.c:119-171, 395-456): a 2bit file, a directory of .nib files
+    ({dir}/{name}.nib), or - with fa_t/fa_q (the -faT/-faQ flags) - a
+    fasta file whose records are loaded up front."""
     scheme = (read_score_scheme(score_scheme) if score_scheme
               else score_scheme_default())
     gap_calc = gap_calc_from_file(linear_gap)
-    t_genome = Genome(t_2bit)
-    q_genome = Genome(q_2bit)
+    t_genome = open_genome(t_seq_src, fasta=fa_t)
+    q_genome = open_genome(q_seq_src, fasta=fa_q)
 
     meta: list[str] = []
     pairs: dict[str, SeqPair] = {}
@@ -180,12 +186,15 @@ def axt_chain_main(argv: list[str]) -> int:
     from ..cli.main import _parse_kent_args
     pos, opts = _parse_kent_args(argv)
     if len(pos) != 4:
-        print("usage: axtChain [-psl] -linearGap=loose in.axt t.2bit q.2bit "
-              "out.chain [-minScore=N] [-scoreScheme=file]", file=sys.stderr)
+        print("usage: axtChain [-psl] [-faT] [-faQ] -linearGap=loose in.axt "
+              "tSeq qSeq out.chain [-minScore=N] [-scoreScheme=file] "
+              "(tSeq/qSeq: 2bit | nib dir | fasta with -faT/-faQ)",
+              file=sys.stderr)
         return 255
     axt_chain(pos[0], pos[1], pos[2], pos[3],
               linear_gap=opts.get("linearGap", ""),
               score_scheme=opts.get("scoreScheme"),
               min_score=int(opts.get("minScore", 1000)),
-              is_psl="psl" in opts)
+              is_psl="psl" in opts,
+              fa_t="faT" in opts, fa_q="faQ" in opts)
     return 0

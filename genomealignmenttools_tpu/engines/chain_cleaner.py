@@ -253,7 +253,96 @@ class ChainCleaner:
         for net in nets:
             _r_convert(tree, net.fills, net.name)
         tree.build()
+        self._valid_breaks(chain_id_count, fill_gap_lists, tree)
 
+    def find_breaks_text(self, net_text: bytes) -> bool:
+        """find_breaks over the native net scan (native/netscan.cpp) -
+        no per-line Python parse, no NetFill tree.  Returns False when the
+        native library is unavailable (caller falls back to read_nets)."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None:
+            return False
+        res_p = lib.gat_net_scan(net_text, len(net_text))
+        try:
+            res = res_p.contents
+            err = bytes(res.error).split(b"\0")[0]
+            if err:
+                raise ValueError(err.decode())
+            import ctypes
+            blob = ctypes.string_at(res.name_blob,
+                                    res.name_off[res.n_nets])
+            names = [blob[res.name_off[i]:res.name_off[i + 1]].decode()
+                     for i in range(res.n_nets)]
+            if res.n_nodes:
+                nodes = np.ctypeslib.as_array(
+                    res.nodes, shape=(res.n_nodes, 5)).tolist()
+            else:
+                nodes = []
+        finally:
+            lib.gat_net_scan_free(res_p)
+
+        # _parse_fill_walk over the DFS node stream (depth2* state reset
+        # per net, exactly the recursive walk's scope)
+        chain_id_count = KentHash()
+        fill_gap_lists = KentHash()
+        depth2gap: dict[int, tuple] = {}
+        depth2chain: dict[int, int] = {}
+        cur_net = -1
+        for depth, t_start, t_size, cid, net_idx in nodes:
+            if net_idx != cur_net:
+                cur_net = net_idx
+                depth2gap = {}
+                depth2chain = {}
+            if cid:
+                depth2chain[depth] = cid
+                if depth > 1:
+                    key = str(cid)
+                    cnt = chain_id_count.lookup(key)
+                    if cnt is None:
+                        chain_id_count.add(key, 1)
+                    else:
+                        chain_id_count.update(key, cnt + 1)
+                    g_start, g_end, g_parent, g_depth = depth2gap[depth - 1]
+                    fg = FillGapInfo(
+                        depth=depth, chain_id=cid, chrom=names[net_idx],
+                        fill_start=t_start, fill_end=t_start + t_size,
+                        gap_start=g_start, gap_end=g_end,
+                        parent_chain_id=g_parent, gap_depth=g_depth)
+                    lst = fill_gap_lists.lookup(key)
+                    if lst is None:
+                        fill_gap_lists.add(key, [fg])
+                    else:
+                        lst.append(fg)
+            else:
+                depth2gap[depth] = (t_start, t_start + t_size,
+                                    depth2chain[depth - 1], depth)
+
+        # _r_convert / _add_ali_blocks over the flat stream: for each fill,
+        # cut its span at child gaps that have children (nextGapWithInsert)
+        tree = _MergedRanges()
+        n = len(nodes)
+        for i, (depth, t_start, t_size, cid, net_idx) in enumerate(nodes):
+            if not cid:
+                continue
+            name = names[net_idx]
+            cursor = t_start
+            j = i + 1
+            child_depth = depth + 1
+            while j < n and nodes[j][0] > depth:
+                nd = nodes[j]
+                if nd[0] == child_depth and \
+                        (j + 1 < n and nodes[j + 1][0] > child_depth):
+                    tree.add(name, cursor, nd[1], cid)
+                    cursor = nd[1] + nd[2]
+                j += 1
+            tree.add(name, cursor, t_start + t_size, cid)
+        tree.build()
+        self._valid_breaks(chain_id_count, fill_gap_lists, tree)
+        return True
+
+    def _valid_breaks(self, chain_id_count: KentHash,
+                      fill_gap_lists: KentHash, tree: _MergedRanges) -> None:
         # getValidBreaks per hashTraverseEls(chainId2Count)
         for key, count in chain_id_count.traverse_order():
             if count == 1:
@@ -698,20 +787,27 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
         verbose(1, "1. parsing fills/gaps from %s and getting valid breaks "
                    "...\n" % net_source)
         verbose(1, "1.1 read net file %s into memory ...\n" % net_source)
-        nets = read_nets(io.StringIO(filtered.getvalue()))
+        net_text = filtered.getvalue().encode()
         verbose(1, "DONE\n\n")
     else:
         net_source = net_file
         verbose(1, "1. parsing fills/gaps from %s and getting valid breaks "
                    "...\n" % net_source)
         verbose(1, "1.1 read net file %s into memory ...\n" % net_source)
-        nets = read_nets(net_file)
+        if net_file.endswith(".gz"):
+            import gzip
+            with gzip.open(net_file, "rb") as f:
+                net_text = f.read()
+        else:
+            with open(net_file, "rb") as f:
+                net_text = f.read()
         verbose(1, "DONE\n\n")
 
     verbose(1, "1.2 get fills/gaps from %s ...\n" % net_source)
     verbose(1, "1.3 get aligning regions from %s ...\n" % net_source)
     verbose(1, "1.4 get valid breaks ...\n")
-    cleaner.find_breaks(nets)
+    if not cleaner.find_breaks_text(net_text):
+        cleaner.find_breaks(read_nets(io.StringIO(net_text.decode())))
     verbose(1, "DONE\n")
     verbose(1, "DONE (parsing fills/gaps and getting valid breaks)\n\n")
 

@@ -184,6 +184,7 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
                 gap_max_t: int = 100000, gap_max_q: int = 100000,
                 score_scheme: str | None = None,
                 seed_len: int = 8, hsp_threshold: int = 1500,
+                gapped_threshold: int = 2500,
                 min_identity: float = 0, min_entropy: float = 0,
                 window_size: int = 0,
                 num_shards: int = 1, shard_index: int = 0) -> None:
@@ -210,8 +211,14 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
     q_genome = Genome(q_2bit)
     t_chars = _CharGenome(t_2bit)
     q_chars = _CharGenome(q_2bit)
+    # K/L per the reference's lastz defaults for patchChain
+    # (patchChain.perl:23 `K=1500 L=2500`)
     aligner = GapAligner(scheme.lut, seed_len=seed_len,
-                         hsp_threshold=hsp_threshold)
+                         hsp_threshold=hsp_threshold,
+                         gapped_threshold=gapped_threshold,
+                         gap_open=scheme.gap_open,
+                         gap_extend=scheme.gap_extend,
+                         char_matrix=scheme.char_matrix())
     code_to_char = np.frombuffer(b"TCAGN", dtype=np.uint8)
 
     axts = []

@@ -188,6 +188,7 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
                   gap_max_t: int = 100000, gap_max_q: int = 100000,
                   score_threshold: int = 2000,
                   seed_len: int = 10, hsp_threshold: int = 1500,
+                  gapped_threshold: int = 2000,
                   ref_quirks: bool = False,
                   chain_ids: set[int] | None = None) -> None:
     """Full RepeatFiller pipeline over a chain file.
@@ -221,8 +222,15 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
     gap_calc = gap_calc_from_file("loose")
     t_genome = open_genome(t_2bit)
     q_genome = open_genome(q_2bit)
+    # K/L as in the reference's lastz invocation `K=1500 L=2000`
+    # (RepeatFiller.py:163-169); the gapped stage joins near-diagonal HSPs
+    # across indels with the banded affine DP
     aligner = GapAligner(scheme.lut, seed_len=seed_len,
-                         hsp_threshold=hsp_threshold)
+                         hsp_threshold=hsp_threshold,
+                         gapped_threshold=gapped_threshold,
+                         gap_open=scheme.gap_open,
+                         gap_extend=scheme.gap_extend,
+                         char_matrix=scheme.char_matrix())
 
     replacements: dict[int, str] = {}
     for job in jobs:

@@ -17,7 +17,8 @@ _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "pairpack.cpp"),
          os.path.join(_DIR, "twobitdec.cpp"),
          os.path.join(_DIR, "chainblocks.cpp"),
-         os.path.join(_DIR, "netsweep.cpp")]
+         os.path.join(_DIR, "netsweep.cpp"),
+         os.path.join(_DIR, "netscan.cpp")]
 
 _lib = None
 _tried = False
@@ -158,6 +159,22 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
     ]
     lib.gat_net_free.argtypes = [ctypes.POINTER(GatNetResult)]
+
+    class GatNetScan(ctypes.Structure):
+        _fields_ = [
+            ("n_nodes", ctypes.c_int64),
+            ("nodes", ctypes.POINTER(ctypes.c_int64)),
+            ("n_nets", ctypes.c_int64),
+            ("name_blob", ctypes.POINTER(ctypes.c_char)),
+            ("name_off", ctypes.POINTER(ctypes.c_int64)),
+            ("error", ctypes.c_char * 256),
+            ("state", ctypes.c_void_p),
+        ]
+
+    lib.GatNetScan = GatNetScan
+    lib.gat_net_scan.restype = ctypes.POINTER(GatNetScan)
+    lib.gat_net_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.gat_net_scan_free.argtypes = [ctypes.POINTER(GatNetScan)]
 
     lib.gat_expand_blocks.restype = None
     lib.gat_expand_blocks.argtypes = [

@@ -41,7 +41,25 @@ import numpy as np
 from .pallas_rescore import pack_lut
 
 CHUNK = 128          # bases per packed row (one lane vreg; |chunk sum| < 2^15)
-ROW_PAD = 1024       # row-count bucket granularity (compile-shape reuse)
+ROW_PAD = 1024       # minimum row-count bucket
+
+
+def bucket_rows(m: int, floor: int = ROW_PAD) -> int:
+    """Round a row count up to a coarse ladder {2^k * f, f in 1..1.75
+    step .25} so the jit shape universe is bounded (every workload would
+    otherwise compile its own kernels; compile through remote backends
+    costs tens of seconds) while capping pad waste at 25%."""
+    if m <= floor:
+        return floor
+    p = floor
+    while p < m:
+        p *= 2
+    half = p // 2
+    for f in (10, 12, 14):  # 1.25x, 1.5x, 1.75x of the lower octave
+        c = half * f // 8
+        if c >= m:
+            return c
+    return p
 
 
 def _pair_vals(c8, packed_lut):
@@ -138,7 +156,7 @@ def pack_pairs(t_codes: np.ndarray, q_codes: np.ndarray,
     separate t/q tiles."""
     c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks, chunk)
     m = c_toff.shape[0]
-    m_pad = ((m + ROW_PAD - 1) // ROW_PAD) * ROW_PAD
+    m_pad = bucket_rows(m)
     c8 = np.empty((m_pad, chunk), np.uint8)
     c8[m:] = 24
     _fill_combined(np.ascontiguousarray(t_codes),
@@ -180,7 +198,7 @@ class PairBlockScorer:
             c_blocks.append(c_block + block_base)
             block_base += blocks.shape[0]
         m = sum(p[2].shape[0] for p in parts)
-        m_pad = ((m + ROW_PAD - 1) // ROW_PAD) * ROW_PAD
+        m_pad = bucket_rows(m)
         c8 = np.empty((m_pad, CHUNK), np.uint8)
         c8[m:] = 24
         row = 0

@@ -50,8 +50,9 @@ def _max_segments(scores: np.ndarray, min_score: int):
     n = scores.shape[0]
     if n == 0:
         return out
-    # take the globally best segment, then recurse on the two flanks
-    # (segments above threshold are rare and few)
+    # take the globally best segment (max over ends e of
+    # pref[e+1] - min(pref[:e+1]), the running-min formulation), then
+    # recurse on the two flanks (segments above threshold are rare)
     stack = [(0, n)]
     while stack:
         lo, hi = stack.pop()
@@ -60,11 +61,13 @@ def _max_segments(scores: np.ndarray, min_score: int):
         seg = scores[lo:hi]
         c = np.cumsum(seg)
         pref = np.concatenate([[0], c])
-        best_end = int(np.argmax(c))
-        best_start = int(np.argmin(pref[:best_end + 1]))
-        score = int(c[best_end] - pref[best_start])
+        runmin = np.minimum.accumulate(pref[:-1])
+        cand = c - runmin  # best segment score ending at each position
+        best_end = int(np.argmax(cand))
+        score = int(cand[best_end])
         if score < min_score:
             continue
+        best_start = int(np.argmin(pref[:best_end + 1]))
         out.append((lo + best_start, lo + best_end + 1, score))
         stack.append((lo, lo + best_start))
         stack.append((lo + best_end + 1, hi))
@@ -72,17 +75,142 @@ def _max_segments(scores: np.ndarray, min_score: int):
     return out
 
 
+_CODE2CHAR = np.frombuffer(b"TCAGN", dtype=np.uint8)
+
+
 class GapAligner:
-    """Aligns two bounded genome regions into scored gap-free blocks."""
+    """Aligns two bounded genome regions into scored gap-free blocks.
+
+    Two stages, mirroring the role lastz's K/L thresholds play
+    (RepeatFiller.py:163-169 `K=1500 L=2000`, patchChain.perl:23 `L=2500`):
+
+    - ungapped: per-diagonal maximal segments with score >= K
+      (hsp_threshold) - the HSP stage
+    - gapped (when gapped_threshold/L is set): each HSP is extended left
+    and right across indels with the banded affine-gap DP
+      (ops/band_ext, the bit-exact kent bandExt port); an alignment is
+      kept iff its total gapped score >= L.  Without L, HSPs are emitted
+      directly (the round-1 behavior).
+
+    The emitted gap-free blocks feed the kd-tree chainer (lastz's chaining
+    stage is played by engines/kd_chainer downstream).
+    """
 
     def __init__(self, lut: np.ndarray, seed_len: int = 10,
                  hsp_threshold: int = 1500, max_region: int = 1_000_000,
-                 max_seeds: int = 2_000_000):
+                 max_seeds: int = 2_000_000,
+                 gapped_threshold: int | None = None,
+                 gap_open: int = 400, gap_extend: int = 30,
+                 char_matrix: np.ndarray | None = None,
+                 max_insert: int = 100, max_ext: int = 5_000):
         self.lut = np.asarray(lut, dtype=np.int64)
         self.seed_len = seed_len
         self.hsp_threshold = hsp_threshold
         self.max_region = max_region
         self.max_seeds = max_seeds
+        self.gapped_threshold = gapped_threshold
+        self.gap_open = gap_open
+        self.gap_extend = gap_extend
+        self.char_matrix = char_matrix
+        self.max_insert = max_insert
+        self.max_ext = max_ext
+
+    # -- gapped stage --------------------------------------------------
+    def _ext_blocks_and_score(self, t_sym: bytes, q_sym: bytes,
+                              t_anchor: int, q_anchor: int, direction: int):
+        """Turn band_ext symbol strings into gap-free blocks + affine
+        score.  Coordinates grow from (t_anchor, q_anchor) in
+        `direction`; for direction=-1 the anchor is the block START."""
+        ta = np.frombuffer(t_sym, np.uint8)
+        qa = np.frombuffer(q_sym, np.uint8)
+        dash = ord("-")
+        both = (ta != dash) & (qa != dash)
+        score = int(self.char_matrix[ta[both], qa[both]].sum())
+        # affine gap charges: O for the first base, E per extra
+        # (bandExt.c state init, bandExt.c:129-141)
+        gap = ~both
+        if gap.any():
+            runs = np.flatnonzero(np.diff(np.concatenate(
+                [[0], gap.view(np.int8), [0]])))
+            starts, ends = runs[0::2], runs[1::2]
+            lens = ends - starts
+            score -= int(self.gap_open * len(lens)
+                         + self.gap_extend * (lens - 1).sum())
+        # blocks: runs of aligned columns; t/q advance where not a dash
+        t_adv = np.cumsum(ta != dash)
+        q_adv = np.cumsum(qa != dash)
+        blocks = []
+        if both.any():
+            bruns = np.flatnonzero(np.diff(np.concatenate(
+                [[0], both.view(np.int8), [0]])))
+            for s, e in zip(bruns[0::2], bruns[1::2]):
+                t_off0 = int(t_adv[s - 1]) if s else 0
+                q_off0 = int(q_adv[s - 1]) if s else 0
+                t_off1, q_off1 = int(t_adv[e - 1]), int(q_adv[e - 1])
+                if direction > 0:
+                    blocks.append([t_anchor + t_off0, t_anchor + t_off1,
+                                   q_anchor + q_off0, q_anchor + q_off1])
+                else:
+                    blocks.append([t_anchor - t_off1, t_anchor - t_off0,
+                                   q_anchor - q_off1, q_anchor - q_off0])
+        return blocks, score
+
+    def _gapped(self, hsps: list, t_region: np.ndarray, q_region: np.ndarray,
+                t_lo: int, q_lo: int) -> list:
+        """Extend HSPs across indels; keep alignments scoring >= L."""
+        from .band_ext import band_ext
+        if self.char_matrix is None:
+            from ..formats.scorematrix import score_scheme_default
+            self.char_matrix = score_scheme_default().char_matrix()
+        t_chars = _CODE2CHAR[np.minimum(t_region, 4)]
+        q_chars = _CODE2CHAR[np.minimum(q_region, 4)]
+        tn, qn = t_region.shape[0], q_region.shape[0]
+        # best-first; skip anchors already covered by an emitted alignment
+        hsps = sorted(hsps, key=lambda b: -b[4])
+        covered: list[tuple[int, int, int]] = []  # (diag, t0, t1) in region
+        out = []
+        for tS, tE, qS, qE, hsp_score in hsps:
+            rt0, rt1 = tS - t_lo, tE - t_lo
+            rq0 = qS - q_lo
+            diag = rt0 - rq0
+            if any(d == diag and c0 <= rt0 and rt1 <= c1
+                   for d, c0, c1 in covered):
+                continue
+            total = hsp_score
+            blocks = [[tS, tE, qS, qE]]
+            rq1 = qE - q_lo
+            # right extension
+            ok, t_sym, q_sym, _, _ = band_ext(
+                False, self.char_matrix, self.gap_open, self.gap_extend,
+                self.max_insert,
+                t_chars[rt1:min(tn, rt1 + self.max_ext)].tobytes(),
+                q_chars[rq1:min(qn, rq1 + self.max_ext)].tobytes(), 1)
+            if ok:
+                eb, es = self._ext_blocks_and_score(t_sym, q_sym, tE, qE, 1)
+                blocks.extend(eb)
+                total += es
+            # left extension
+            ok, t_sym, q_sym, _, _ = band_ext(
+                False, self.char_matrix, self.gap_open, self.gap_extend,
+                self.max_insert,
+                t_chars[max(0, rt0 - self.max_ext):rt0].tobytes(),
+                q_chars[max(0, rq0 - self.max_ext):rq0].tobytes(), -1)
+            if ok:
+                eb, es = self._ext_blocks_and_score(t_sym, q_sym, tS, qS, -1)
+                blocks.extend(eb)
+                total += es
+            if total < self.gapped_threshold:
+                continue
+            for bt0, bt1, bq0, bq1 in blocks:
+                covered.append((bt0 - bq0 - (t_lo - q_lo),
+                                bt0 - t_lo, bt1 - t_lo))
+            out.extend([b[0], b[1], b[2], b[3],
+                        int(self.lut[q_region[b[2] - q_lo:b[3] - q_lo],
+                                     t_region[b[0] - t_lo:b[1] - t_lo]]
+                            .sum())]
+                       for b in blocks)
+        out.sort(key=lambda b: (b[2], b[0]))
+        return out
 
     def align(self, t_codes: np.ndarray, q_codes: np.ndarray,
               t_lo: int, t_hi: int, q_lo: int, q_hi: int) -> list:
@@ -133,5 +261,7 @@ class GapAligner:
             for s, e, sc in _max_segments(scores, self.hsp_threshold):
                 blocks.append([t_lo + t0 + s, t_lo + t0 + e,
                                q_lo + q0 + s, q_lo + q0 + e, sc])
+        if self.gapped_threshold is not None:
+            return self._gapped(blocks, t_region, q_region, t_lo, q_lo)
         blocks.sort(key=lambda b: (b[2], b[0]))
         return blocks

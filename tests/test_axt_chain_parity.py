@@ -76,3 +76,62 @@ def test_chain_blocks_native_matches_python():
         for a, b in zip(py, nat):
             assert a.score == b.score, seed
             assert [r[:4] for r in a._rows] == [list(r)[:4] for r in b._rows], seed
+
+
+def _derive_fa_nib(ref, tmp_path):
+    """Derive fasta + nib fixtures from the kent 2bits, the way the
+    reference test makefile does with twoBitToFa + faToNib -softMask
+    (axtChain/tests/makefile mkdirs target)."""
+    from genomealignmenttools_tpu.formats.nib import write_nib
+    from genomealignmenttools_tpu.formats.twobit import TwoBitFile
+
+    paths = {}
+    for role, fname in (("t", "hg19.chrM.2bit"), ("q", "susScr3.chrM.2bit")):
+        tbf = TwoBitFile(os.path.join(ref, "input", fname))
+        fa_path = tmp_path / f"{role}.fa"
+        nib_dir = tmp_path / f"nib_{role}"
+        nib_dir.mkdir()
+        with open(fa_path, "w") as fa:
+            for name in tbf.seq_names():
+                chars = tbf.read_seq(name).chars()
+                fa.write(f">{name}\n")
+                for i in range(0, len(chars), 50):
+                    fa.write(chars[i:i + 50].decode() + "\n")
+                write_nib(str(nib_dir / f"{name}.nib"), chars)
+        paths[role + "_fa"] = str(fa_path)
+        paths[role + "_nib"] = str(nib_dir)
+    return paths
+
+
+@pytest.mark.parametrize("case", ["newStyleLastz", "oldStyleBlastz"])
+def test_axt_chain_psl_fasta_mode(case, tmp_path):
+    """kent makefile mode: axtChain -psl -faQ -faT in.psl t.fa q.fa"""
+    from genomealignmenttools_tpu.engines.axt_chain import axt_chain
+
+    ref = _ref_dir()
+    p = _derive_fa_nib(ref, tmp_path)
+    out = io.StringIO()
+    axt_chain(
+        os.path.join(ref, "input", f"{case}.psl"), p["t_fa"], p["q_fa"],
+        out, linear_gap="loose", min_score=3000,
+        score_scheme=os.path.join(ref, "input", f"{case}.Q.txt"),
+        is_psl=True, fa_t=True, fa_q=True)
+    expected = open(os.path.join(ref, "expected", f"{case}.chain")).read()
+    assert out.getvalue() == expected
+
+
+@pytest.mark.parametrize("case", ["newStyleLastz", "oldStyleBlastz"])
+def test_axt_chain_psl_nibdir_mode(case, tmp_path):
+    """kent makefile mode: axtChain -psl in.psl nibTargetDir nibQueryDir"""
+    from genomealignmenttools_tpu.engines.axt_chain import axt_chain
+
+    ref = _ref_dir()
+    p = _derive_fa_nib(ref, tmp_path)
+    out = io.StringIO()
+    axt_chain(
+        os.path.join(ref, "input", f"{case}.psl"), p["t_nib"], p["q_nib"],
+        out, linear_gap="loose", min_score=3000,
+        score_scheme=os.path.join(ref, "input", f"{case}.Q.txt"),
+        is_psl=True)
+    expected = open(os.path.join(ref, "expected", f"{case}.chain")).read()
+    assert out.getvalue() == expected

@@ -66,3 +66,98 @@ def test_repeat_filler_id_list(fixtures_dir, golden_dir, tmp_path):
     assert {c.id for c in sel_chains} == pick
     for c in sel_chains:
         assert c.to_text() == full_chains[c.id]
+
+
+def _write_indel_workload(tmp_path):
+    """Plant an indel-rich homology inside a chain gap: one strong 80bp
+    anchor (the only piece above the HSP threshold K=1500) followed by
+    many short diverged pieces separated by 1-3bp indels.  Ground truth is
+    the construction itself - recovering the short pieces REQUIRES the
+    gapped extension stage (lastz's L-threshold role)."""
+    from genomealignmenttools_tpu.formats.chain import Chain, write_chains
+    from genomealignmenttools_tpu.formats.twobit import write_twobit
+
+    rng = np.random.default_rng(42)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t_size = q_size = 40_000
+    t = bases[rng.integers(0, 4, t_size)].copy()
+    q = bases[rng.integers(0, 4, q_size)].copy()
+
+    def plant(tpos, qpos, length, identity):
+        frag = t[tpos:tpos + length].copy()
+        mut = rng.random(length) > identity
+        frag[mut] = bases[rng.integers(0, 4, int(mut.sum()))]
+        q[qpos:qpos + length] = frag
+
+    blocks = []
+    tp, qp = 1_000, 1_200
+    for _ in range(4):  # left anchor blocks
+        plant(tp, qp, 500, 0.95)
+        blocks.append((tp, tp + 500, qp, qp + 500))
+        tp += 520
+        qp += 520
+    gap_t0, gap_q0 = tp, qp
+    # homology inside the gap: 80bp anchor + 20 x 15bp pieces w/ indels
+    ht, hq = gap_t0 + 900, gap_q0 + 900
+    planted = 0
+    plant(ht, hq, 80, 0.97)
+    planted += 80
+    ht += 80
+    hq += 80
+    for i in range(20):
+        # a 1-3bp target-side insertion before every piece: each piece
+        # lands on a fresh diagonal, so no ungapped segment can bridge
+        ht += 1 + i % 3
+        plant(ht, hq, 15, 0.92)
+        planted += 15
+        ht += 15
+        hq += 15
+    tp, qp = gap_t0 + 3_000, gap_q0 + 3_100  # gap ends
+    for _ in range(4):  # right anchor blocks
+        plant(tp, qp, 500, 0.95)
+        blocks.append((tp, tp + 500, qp, qp + 500))
+        tp += 520
+        qp += 520
+
+    b = np.array(blocks, np.int64)
+    chain = Chain(score=500_000, t_name="chrT", t_size=t_size,
+                  t_start=int(b[0, 0]), t_end=int(b[-1, 1]),
+                  q_name="chrQ", q_size=q_size, q_strand="+",
+                  q_start=int(b[0, 2]), q_end=int(b[-1, 3]),
+                  id=1, blocks=b)
+    t2 = str(tmp_path / "t.2bit")
+    q2 = str(tmp_path / "q.2bit")
+    cf = str(tmp_path / "in.chain")
+    write_twobit(t2, [("chrT", t.tobytes())])
+    write_twobit(q2, [("chrQ", q.tobytes())])
+    with open(cf, "w") as f:
+        write_chains([chain], f)
+    return cf, t2, q2, (gap_t0, gap_t0 + 3_000), planted
+
+
+def test_gapped_stage_recovers_indel_homology(tmp_path):
+    """The banded gapped-extension stage must recover the planted
+    indel-containing mini-chain; the ungapped-HSP-only aligner (round-1
+    behavior, gapped_threshold=None surrogate: pieces below K are
+    invisible) must not."""
+    cf, t2, q2, (g0, g1), planted = _write_indel_workload(tmp_path)
+
+    def gap_aligned(out_text):
+        chains = read_chains(io.StringIO(out_text))
+        b = chains[0].blocks
+        inside = (b[:, 0] >= g0) & (b[:, 1] <= g1)
+        return int((b[inside, 1] - b[inside, 0]).sum())
+
+    out = io.StringIO()
+    repeat_filler(cf, t2, q2, out)  # gapped stage on by default (L=2000)
+    got = gap_aligned(out.getvalue())
+    # the whole planted homology (anchor + indel pieces) is spliced in
+    assert got >= 0.85 * planted, (got, planted)
+
+    out._value = None
+    out2 = io.StringIO()
+    repeat_filler(cf, t2, q2, out2, gapped_threshold=None)
+    got_ungapped = gap_aligned(out2.getvalue())
+    # without gapped extension most of the indel pieces are invisible
+    assert got_ungapped <= 0.45 * planted, (got_ungapped, planted)
+    assert got > 2 * got_ungapped

@@ -45,3 +45,38 @@ def test_score_chain_matches_reference(golden_name, kwargs, fixtures_dir,
         os.path.join(fixtures_dir, "query.2bit"),
         out, **kwargs)
     _compare(out, os.path.join(golden_dir, golden_name))
+
+
+def test_score_chain_nib_dir_inputs(fixtures_dir, golden_dir, tmp_path):
+    """Genome sources may be .nib directories (nibLoadAllMasked
+    NIB_MASK_MIXED, chainCleaner.c:440-457); output must be identical to
+    the 2bit run."""
+    from genomealignmenttools_tpu.engines.score_chain import score_chain_file
+
+    out = tmp_path / "nib_scored.chain"
+    score_chain_file(
+        os.path.join(fixtures_dir, "synthetic.chain"),
+        os.path.join(fixtures_dir, "nib", "target"),
+        os.path.join(fixtures_dir, "nib", "query"),
+        str(out), linear_gap="loose")
+    golden = open(os.path.join(golden_dir, "scoreChain.loose.chain")).read()
+    assert out.read_text() == golden
+
+
+def test_chain_cleaner_nib_dir_inputs(fixtures_dir, golden_dir, tmp_path):
+    from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
+
+    out_chain = tmp_path / "nib_clean.chain"
+    out_bed = tmp_path / "nib_clean.bed"
+    clean_chains(
+        os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+        os.path.join(fixtures_dir, "nib", "target"),
+        os.path.join(fixtures_dir, "nib", "query"),
+        str(out_chain), str(out_bed),
+        t_sizes=os.path.join(fixtures_dir, "target.chrom.sizes"),
+        q_sizes=os.path.join(fixtures_dir, "query.chrom.sizes"),
+        linear_gap="loose")
+    assert out_chain.read_text() == open(
+        os.path.join(golden_dir, "chainCleaner.out.chain")).read()
+    assert out_bed.read_text() == open(
+        os.path.join(golden_dir, "chainCleaner.removedSuspects.bed")).read()
