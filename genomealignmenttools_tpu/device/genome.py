@@ -20,7 +20,20 @@ _RC_CODE = np.array([2, 3, 0, 1, 4], dtype=np.uint8)  # T<->A, C<->G, N=N
 
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
-    """Reverse complement a code array (0..4); single LUT gather pass."""
+    """Reverse complement a code array (0..4); native threaded pass when
+    available, single LUT gather otherwise."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "gat_revcomp_codes"):
+        import ctypes
+        import os
+        src = np.ascontiguousarray(codes)
+        out = np.empty_like(src)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gat_revcomp_codes(src.ctypes.data_as(u8p), src.shape[0],
+                              out.ctypes.data_as(u8p),
+                              min(os.cpu_count() or 1, 8))
+        return out
     return _RC_CODE[codes[::-1]]
 
 

@@ -697,6 +697,31 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
     Console transcript mirrors the reference's numbered step banners
     (chainCleaner.c:1730-1886) at verbosity >= 1.
     """
+    # cyclic GC off for the run: the pipeline allocates millions of small
+    # tuples and jax's gc callback makes every collection pass expensive;
+    # refcounting handles all actual frees here
+    import gc
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        _clean_chains_impl(
+            in_chain, t_2bit, q_2bit, out_chain_path, out_bed_path,
+            net_file=net_file, t_sizes=t_sizes, q_sizes=q_sizes,
+            linear_gap=linear_gap, score_scheme=score_scheme,
+            new_chain_id_dict_path=new_chain_id_dict_path,
+            scorer_factory=scorer_factory, **thresholds)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
+                 out_chain_path: str, out_bed_path: str,
+                 net_file: str | None = None,
+                 t_sizes: str | None = None, q_sizes: str | None = None,
+                 linear_gap: str = "loose", score_scheme: str | None = None,
+                 new_chain_id_dict_path: str | None = None,
+                 scorer_factory=None, **thresholds) -> None:
     from ..utils.verbose import print_mem, verbose, verbosity
 
     scheme = (read_score_scheme(score_scheme) if score_scheme

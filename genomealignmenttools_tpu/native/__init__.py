@@ -119,6 +119,11 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.gat_revcomp_codes.restype = None
+    lib.gat_revcomp_codes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
     lib.gat_chain_blocks.restype = ctypes.c_int64
     lib.gat_chain_blocks.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,

@@ -107,3 +107,28 @@ void gat_expand_blocks(int64_t start, int64_t end, const int64_t* b_starts,
 }
 
 }  // extern "C"
+
+
+extern "C" {
+
+// Reverse-complement a code array (T=0 C=1 A=2 G=3 N=4): out[i] =
+// comp(in[n-1-i]).  Memory-bound; threaded over slices.
+void gat_revcomp_codes(const uint8_t* in, int64_t n, uint8_t* out,
+                       int n_threads) {
+    static const uint8_t comp[5] = {2, 3, 0, 1, 4};
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) out[i] = comp[in[n - 1 - i]];
+    };
+    if (n_threads == 1 || n < (1 << 20)) { worker(0, n); return; }
+    std::vector<std::thread> threads;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -220,11 +220,56 @@ class PairBlockScorer:
         self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
         return packed
 
+    TILE_ROWS = 1 << 17  # fixed kernel shape: ONE compile ever, any size
+
+    def _pack_multi_tiles(self, jobs):
+        """Like _pack_multi but returns fixed-shape device tiles
+        (TILE_ROWS, CHUNK) - the kernel compiles once for every workload
+        and process (remote compiles cost tens of seconds)."""
+        ck = ("tiles",) + tuple(id(b) for (_, _, _, b) in jobs)
+        hit = self._pack_cache.get(ck)
+        if hit is not None and all(a is b for a, (_, _, _, b) in
+                                   zip(hit[0], jobs)):
+            return hit[1]
+        parts = []
+        c_blocks = []
+        block_base = 0
+        for (tn, qn, strand, blocks) in jobs:
+            c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks)
+            parts.append((self.t_genome.codes(tn, "+"),
+                          self.q_genome.codes(qn, strand),
+                          c_toff, c_qoff, c_len))
+            c_blocks.append(c_block + block_base)
+            block_base += blocks.shape[0]
+        m = sum(p[2].shape[0] for p in parts)
+        tile = self.TILE_ROWS
+        m_pad = ((m + tile - 1) // tile) * tile
+        c8 = np.empty((m_pad, CHUNK), np.uint8)
+        c8[m:] = 24
+        row = 0
+        for (tc, qc, c_toff, c_qoff, c_len) in parts:
+            k = c_toff.shape[0]
+            _fill_combined(np.ascontiguousarray(tc),
+                           np.ascontiguousarray(qc),
+                           c_toff, c_qoff, c_len, c8[row:row + k], k, CHUNK)
+            row += k
+        c_block_all = np.concatenate(c_blocks) if c_blocks \
+            else np.zeros(0, np.int64)
+        dev_tiles = [jnp.asarray(c8[i:i + tile])
+                     for i in range(0, m_pad, tile)]
+        packed = (dev_tiles, c_block_all, m, block_base)
+        if len(self._pack_cache) > 16:
+            self._pack_cache.clear()
+        self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
+        return packed
+
     def chunk_scores_multi(self, jobs):
-        """One device round trip: (chunk_scores int16[m], c_block, n_blocks).
-        """
-        dev_c8, c_block, m, n_blocks = self._pack_multi(jobs)
-        cs = np.asarray(_pair_scores_kernel(dev_c8, self.packed_lut))[:m]
+        """Streamed tile scoring: fixed-shape kernel dispatches pipeline
+        asynchronously; one sync at the end.  Returns (chunk_scores
+        int16[m], c_block, n_blocks)."""
+        dev_tiles, c_block, m, n_blocks = self._pack_multi_tiles(jobs)
+        parts = [_pair_scores_kernel(t, self.packed_lut) for t in dev_tiles]
+        cs = np.concatenate([np.asarray(p) for p in parts])[:m]
         return cs, c_block, n_blocks
 
     def block_scores_multi(self, jobs) -> np.ndarray:

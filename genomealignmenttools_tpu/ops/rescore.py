@@ -34,15 +34,15 @@ import numpy as np
 
 from ..device.genome import Genome
 
-# Persistent compilation cache: first-run jit compiles through the remote
-# TPU link cost tens of seconds; cache them across processes.  No-op if
-# the backend doesn't support executable serialization.
-if not jax.config.jax_compilation_cache_dir:
+# Persistent compilation cache: opt-in via GAT_JAX_CACHE=<dir>.  Measured
+# on the tunneled TPU backend, deserialized executables pay a ~100s
+# first-execution penalty - far worse than compiling fresh - so this
+# stays off unless explicitly requested.
+if os.environ.get("GAT_JAX_CACHE") and \
+        not jax.config.jax_compilation_cache_dir:
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("GAT_JAX_CACHE",
-                           os.path.expanduser("~/.cache/gat_jax_cache")))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["GAT_JAX_CACHE"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
@@ -232,6 +232,7 @@ class DeviceChainScorer:
         cache = getattr(self, "_concat_cache", None)
         if cache is None:
             cache = self._concat_cache = {}
+        all_hit = bool(groups)
         for (tn, qn, strand), idxs in groups.items():
             parts = [chains[i].blocks for i in idxs]
             ck = tuple(id(b) for b in parts)
@@ -239,12 +240,17 @@ class DeviceChainScorer:
             if hit is not None and all(a is b for a, b in zip(hit[0], parts)):
                 all_blocks = hit[1]
             else:
+                all_hit = False
                 all_blocks = np.ascontiguousarray(np.concatenate(parts))
                 if len(cache) > 32:
                     cache.clear()
                 cache[ck] = (parts, all_blocks)
             jobs.append((tn, qn, strand, all_blocks))
             order.extend(idxs)
+        # resident-workload signal: the same chain set was scored before,
+        # so the pack is memoized on device and the (expensive-to-compile)
+        # on-device combine amortizes - see score_chains
+        self._repeat_workload = all_hit
         return jobs, order
 
     def score_chains(self, chains: list) -> list[tuple[float, float, int]]:
@@ -262,10 +268,19 @@ class DeviceChainScorer:
         results: list = [None] * len(chains)
         jobs, order = self._grouped(chains)
         lib = get_lib()
-        if isinstance(self._dev, PairBlockScorer):
-            # fastest: global/local combine ON DEVICE (segmented scans),
-            # fetching only (n_chains, 2); falls through on int32-overflow
-            # risk (gigantic chains) to the native host combine
+        combine = os.environ.get("GAT_COMBINE", "auto")
+        if combine == "auto":
+            # The on-device combine (segmented scans, only (n_chains, 2)
+            # fetched) is the throughput champion for RESIDENT workloads
+            # (same chains re-scored repeatedly: chainNet -rescore sweeps,
+            # benchmarks) but its 14-stage x64 pipeline costs minutes of
+            # remote compile per process.  One-shot workloads (chainCleaner
+            # prescore: fresh subsets every call) use the host combine -
+            # one fixed-shape streaming kernel + native C++ combine over a
+            # tiny int16 fetch.
+            combine = "device" if getattr(self, "_repeat_workload", False) \
+                else "host"
+        if isinstance(self._dev, PairBlockScorer) and combine == "device":
             from .pair_rescore import PairChainScorer
             pcs = getattr(self, "_pair_chain_scorer", None)
             if pcs is None:
