@@ -465,7 +465,7 @@ class ChainCleaner:
         self._removed_ranges.setdefault(chain_id, []).append(
             (start, end, self._seq))
 
-    def _prescore_breaks(self) -> None:
+    def _prescore_breaks(self, allowed_parents=None) -> None:
         """Score every pending break's 4 sub-chains in one batched device
         round trip (the reference scores them one at a time inside
         testAndRemoveSuspect, chainCleaner.c:1214-1229)."""
@@ -489,7 +489,9 @@ class ChainCleaner:
             jobs.append(sub)
             keys.append(key)
 
-        for _, break_list in self.break_hash.el_list_order():
+        for key, break_list in self.break_hash.el_list_order():
+            if allowed_parents is not None and key not in allowed_parents:
+                continue
             for brk in break_list:
                 breaking = self.chains.get(brk.parent_chain_id)
                 broken = self.chains.get(brk.chain_id)
@@ -566,6 +568,9 @@ class ChainCleaner:
             sub_suspect.id = self.max_chain_id
             self.new_id_dict.append((sub_suspect.id, breaking.id))
             self.suspect_chains.append(sub_suspect)
+            self.removal_tags.append((self._cur_list_pos,
+                                      self._list_removal_seq))
+            self._list_removal_seq += 1
 
             if upstream is not None:
                 if (brk.chain_id == upstream.chain_id
@@ -589,10 +594,61 @@ class ChainCleaner:
                     downstream.l_gap_start = brk.l_gap_start
         return removed, breaks_updated
 
-    def loop_over_breaks(self) -> None:
-        """loopOverBreaks (chainCleaner.c:1452-1631)."""
-        self._prescore_breaks()
-        for _, break_list in self.break_hash.el_list_order():
+    def components(self) -> list[list[str]]:
+        """Connected components of break lists (parent keys), ordered by
+        first appearance in el_list_order.
+
+        Two break lists are coupled iff they share a chain (a chain that
+        is breaking in one list and broken in another: removals mutate the
+        breaking chain and scoring reads broken chains, so only
+        same-component lists can observe each other's effects).  Lists in
+        different components are order-independent - the multi-host shard
+        unit (SURVEY §5.8)."""
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        lists = list(self.break_hash.el_list_order())
+        for key, break_list in lists:
+            pid = int(key)
+            for brk in break_list:
+                union(pid, brk.chain_id)
+        comps: dict[int, tuple[list[str], set[int]]] = {}
+        order: list[int] = []
+        for key, break_list in lists:
+            root = find(int(key))
+            if root not in comps:
+                comps[root] = ([], set())
+                order.append(root)
+            comps[root][0].append(key)
+            comps[root][1].add(int(key))
+            for brk in break_list:
+                comps[root][1].add(brk.chain_id)
+        return [comps[r] for r in order]
+
+    def loop_over_breaks(self, allowed_parents: set[str] | None = None) -> None:
+        """loopOverBreaks (chainCleaner.c:1452-1631).
+
+        allowed_parents: process only these break lists (sharded mode);
+        removal order tags (list position in el_list_order, sequence
+        within the list) are recorded so a shard merge reproduces the
+        single-run removal order exactly."""
+        self.removal_tags: list[tuple[int, int]] = []
+        self._prescore_breaks(allowed_parents)
+        for self._cur_list_pos, (key, break_list) in enumerate(
+                self.break_hash.el_list_order()):
+            if allowed_parents is not None and key not in allowed_parents:
+                continue
+            self._list_removal_seq = 0
             while True:  # overall iteration (singles then pairs)
                 # --- singles fixed point ---
                 while True:
@@ -664,6 +720,27 @@ class ChainCleaner:
         for chain in self.chains_of_interest_for_output():
             out.write(chain.to_text())
 
+    def interest_for_shard(self, owned_ids: set[int]) -> list[tuple[int, str]]:
+        """(global_traverse_pos, chain_text) for owned chains of interest,
+        with owned modified chains rescored - the shard half of
+        writeAndFreeChainsOfInterest."""
+        order = list(self.chain_of_interest.traverse_order())
+        rescore = [self.chains[int(key)] for key, _ in order
+                   if key in self.needs_rescoring and int(key) in owned_ids]
+        if rescore and hasattr(self.scorer, "score_chains"):
+            for chain, (g, _loc, _ali) in zip(
+                    rescore, self.scorer.score_chains(rescore)):
+                chain.score = float(g)
+        else:
+            for chain in rescore:
+                self._get_chain_score(chain)
+        out = []
+        for pos, (key, _) in enumerate(order):
+            cid = int(key)
+            if cid in owned_ids:
+                out.append((pos, self.chains[cid].to_text()))
+        return out
+
     def chains_of_interest_for_output(self) -> list[Chain]:
         """The (rescored) breaking/broken chains in hashTraverseEls order."""
         order = list(self.chain_of_interest.traverse_order())
@@ -691,11 +768,18 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
                  t_sizes: str | None = None, q_sizes: str | None = None,
                  linear_gap: str = "loose", score_scheme: str | None = None,
                  new_chain_id_dict_path: str | None = None,
-                 scorer_factory=None, **thresholds) -> None:
+                 scorer_factory=None, num_shards: int = 1, shard: int = 0,
+                 shard_out: str | None = None, **thresholds) -> None:
     """Full chainCleaner pipeline (chainCleaner.c main, 1678-1899).
 
     Console transcript mirrors the reference's numbered step banners
     (chainCleaner.c:1730-1886) at verbosity >= 1.
+
+    num_shards/shard: multi-host fan-out over break-list components
+    (connected groups of breaking/broken chains, the only coupling unit -
+    see ChainCleaner.components).  A shard run writes a bundle to
+    shard_out; merge_cleaner_shards() combines bundles into the canonical
+    out.chain/out.bed, byte-identical to a single run for any shard count.
     """
     # cyclic GC off for the run: the pipeline allocates millions of small
     # tuples and jax's gc callback makes every collection pass expensive;
@@ -709,7 +793,8 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
             net_file=net_file, t_sizes=t_sizes, q_sizes=q_sizes,
             linear_gap=linear_gap, score_scheme=score_scheme,
             new_chain_id_dict_path=new_chain_id_dict_path,
-            scorer_factory=scorer_factory, **thresholds)
+            scorer_factory=scorer_factory, num_shards=num_shards,
+            shard=shard, shard_out=shard_out, **thresholds)
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -721,7 +806,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
                  t_sizes: str | None = None, q_sizes: str | None = None,
                  linear_gap: str = "loose", score_scheme: str | None = None,
                  new_chain_id_dict_path: str | None = None,
-                 scorer_factory=None, **thresholds) -> None:
+                 scorer_factory=None, num_shards: int = 1, shard: int = 0,
+                 shard_out: str | None = None, **thresholds) -> None:
     from ..utils.verbose import print_mem, verbose, verbosity
 
     scheme = (read_score_scheme(score_scheme) if score_scheme
@@ -846,8 +932,42 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     verbose(1, "4. loop over all breaks. Remove suspects if they pass our "
                "filters and write out deleted suspects to %s ...\n"
             % out_bed_path)
-    cleaner.loop_over_breaks()
+    allowed = None
+    owned_ids: set[int] | None = None
+    input_max_id = cleaner.max_chain_id  # before removals assign new ids
+    if num_shards > 1:
+        from ..parallel.distributed import shard_indices
+        comps = cleaner.components()
+        idx = shard_indices(len(comps), num_shards, shard)
+        allowed = set()
+        owned_ids = set()
+        for keys, cids in comps[idx.start:idx.stop]:
+            allowed.update(keys)
+            owned_ids.update(cids)
+    cleaner.loop_over_breaks(allowed)
     verbose(1, "DONE\n\n")
+
+    if num_shards > 1:
+        import json
+        bundle = {
+            "shard": shard,
+            "max_chain_id": input_max_id,
+            "removals": [
+                [pos, seq, cleaner.bed_lines[i],
+                 cleaner.new_id_dict[i][1], cleaner.suspect_chains[i].to_text()]
+                for i, (pos, seq) in enumerate(cleaner.removal_tags)],
+            "interest": cleaner.interest_for_shard(owned_ids),
+        }
+        if shard == 0:
+            from ..formats.chain import write_chains as _wc
+            buf = io.StringIO()
+            _wc(passthrough, buf)
+            bundle["passthrough"] = buf.getvalue()
+            bundle["meta"] = meta_lines
+        with open(shard_out or out_chain_path, "w") as f:
+            json.dump(bundle, f)
+        verbose(1, "shard %d/%d bundle written\n" % (shard, num_shards))
+        return
     verbose(1, "5. write the (new) breaking and the broken chains to %s "
                "...\n" % out_chain_path)
     # pre-sort order = pass-through (input order), suspects (removal
@@ -880,6 +1000,14 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
 def chain_cleaner_main(argv: list[str]) -> int:
     from ..cli.main import _parse_kent_args
     pos, opts = _parse_kent_args(argv)
+    if "mergeShards" in opts:
+        if len(pos) != 2:
+            print("usage: chainCleaner -mergeShards=s0.json,s1.json,... "
+                  "out.chain out.bed [-newChainIDDict=f]", file=sys.stderr)
+            return 255
+        merge_cleaner_shards(opts["mergeShards"].split(","), pos[0], pos[1],
+                             opts.get("newChainIDDict"))
+        return 0
     if len(pos) != 5:
         print("usage: chainCleaner in.chain t.2bit q.2bit out.chain out.bed "
               "{-net=in.net | -tSizes=t.sizes -qSizes=q.sizes} "
@@ -911,5 +1039,92 @@ def chain_cleaner_main(argv: list[str]) -> int:
         linear_gap=opts.get("linearGap", "loose"),
         score_scheme=opts.get("scoreScheme"),
         new_chain_id_dict_path=opts.get("newChainIDDict"),
+        num_shards=int(opts.get("numShards", 1)),
+        shard=int(opts.get("shard", 0)),
+        shard_out=opts.get("shardOut"),
         **thresholds)
     return 0
+
+
+def merge_cleaner_shards(shard_paths: list[str], out_chain_path: str,
+                         out_bed_path: str,
+                         new_chain_id_dict_path: str | None = None) -> None:
+    """Combine per-shard cleaner bundles into the canonical outputs.
+
+    Byte-identical to a single-shard run for any shard count: removals are
+    re-interleaved by their (break-list position, within-list sequence)
+    tags - the single run's removal order - and new suspect chain ids are
+    assigned in that global order starting at maxChainId+1
+    (chainCleaner.c:1341).  Host-0 merge per SURVEY §5.8."""
+    import json
+
+    bundles = [json.load(open(p)) for p in shard_paths]
+    bundles.sort(key=lambda b: b["shard"])
+    base_id = max(b["max_chain_id"] for b in bundles)
+    shard0 = bundles[0]
+    if "passthrough" not in shard0:
+        raise ValueError("shard 0 bundle (with passthrough chains) missing")
+
+    removals = sorted((r for b in bundles for r in b["removals"]),
+                      key=lambda r: (r[0], r[1]))
+    bed_lines = []
+    suspect_texts = []
+    id_dict: list[tuple[int, int]] = []
+    for g, (_pos, _seq, bed, old_id, text) in enumerate(removals):
+        gid = base_id + g + 1
+        bed_lines.append(bed)
+        header, rest = text.split("\n", 1)
+        header = header.rsplit(" ", 1)[0] + f" {gid}"
+        suspect_texts.append(header + "\n" + rest)
+        id_dict.append((gid, old_id))
+
+    interest = sorted((t for b in bundles for t in b["interest"]),
+                      key=lambda t: t[0])
+
+    from ..formats.chain import read_chains, sort_chains_by_score, \
+        write_chains
+    full_text = (shard0["passthrough"] + "".join(suspect_texts)
+                 + "".join(t for _pos, t in interest))
+    chains = read_chains(io.StringIO(full_text))
+    with open(out_bed_path, "w") as f:
+        f.writelines(bed_lines)
+    if new_chain_id_dict_path:
+        with open(new_chain_id_dict_path, "w") as f:
+            for new_id, old_id in id_dict:
+                f.write(f"{new_id}\t{old_id}\n")
+    with open(out_chain_path, "w") as outf:
+        for line in shard0.get("meta", []):
+            outf.write(line + "\n")
+        write_chains(sort_chains_by_score(chains), outf)
+
+
+def clean_chains_distributed(in_chain: str, t_2bit: str, q_2bit: str,
+                             out_chain_path: str, out_bed_path: str,
+                             work_dir: str, **kw) -> None:
+    """Multi-host chainCleaner: every jax process runs its shard, bundles
+    are gathered to process 0 over the ICI/DCN collective
+    (parallel/distributed.host0_merge_text) and merged there."""
+    import json
+    import os
+
+    import jax
+
+    from ..parallel.distributed import host0_merge_text
+    n, me = jax.process_count(), jax.process_index()
+    os.makedirs(work_dir, exist_ok=True)
+    shard_path = os.path.join(work_dir, f"cleaner_shard_{me}.json")
+    clean_chains(in_chain, t_2bit, q_2bit, out_chain_path, out_bed_path,
+                 num_shards=n, shard=me, shard_out=shard_path, **kw)
+    if n == 1:
+        return
+    # gather bundles (length-prefixed) to every process; 0 writes
+    merged = host0_merge_text(open(shard_path).read() + "\x00")
+    if me == 0:
+        parts = [p for p in merged.split("\x00") if p]
+        paths = []
+        for i, text in enumerate(parts):
+            pth = os.path.join(work_dir, f"gathered_{i}.json")
+            with open(pth, "w") as f:
+                f.write(text)
+            paths.append(pth)
+        merge_cleaner_shards(paths, out_chain_path, out_bed_path)

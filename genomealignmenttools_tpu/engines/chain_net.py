@@ -537,8 +537,14 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
               min_score: float = 2000, incl_hap: bool = False,
               rescore: bool = False, t_2bit: str | None = None,
               q_2bit: str | None = None, linear_gap: str | None = None,
-              score_scheme: str | None = None, scorer_factory=None) -> None:
-    """Run the full chainNet pipeline (mirrors chainNet.c:918-1002)."""
+              score_scheme: str | None = None, scorer_factory=None,
+              num_shards: int = 1, shard: int = 0) -> None:
+    """Run the full chainNet pipeline (mirrors chainNet.c:918-1002).
+
+    num_shards/shard: per-side chromosome partition (contiguous in
+    sizes-file order).  Each side of the net is independent per chromosome
+    (fills only claim space on their own chromosome), so concatenating the
+    shard outputs in shard order is byte-identical to a single run."""
     if rescore:
         min_score = 0
         if t_2bit is None or q_2bit is None:
@@ -584,16 +590,36 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
         if chain.score < min_score:
             break
         kept.append(chain)
-    netter = _native_net_tree(kept, t_sizes, q_sizes, min_space=min_space,
+    def build_netter(chains):
+        nt = _native_net_tree(chains, t_sizes, q_sizes, min_space=min_space,
                               min_fill=min_fill, min_score=min_score,
                               incl_hap=incl_hap)
-    if netter is None:  # pure-python fallback (bit-identical)
-        netter = Netter(t_sizes, q_sizes, min_space=min_space,
+        if nt is None:  # pure-python fallback (bit-identical)
+            nt = Netter(t_sizes, q_sizes, min_space=min_space,
                         min_fill=min_fill, min_score=min_score,
                         incl_hap=incl_hap)
-        for chain in kept:
-            netter.add_chain(chain)
-        netter.finish()
+            for chain in chains:
+                nt.add_chain(chain)
+            nt.finish()
+        return nt
+
+    q_netter = None
+    if num_shards > 1:
+        # per-side chromosome shard: the sweep only needs the chains that
+        # live on this shard's chromosomes for the side being emitted
+        from ..parallel.distributed import shard_indices
+        t_names = list(t_sizes)
+        q_names = list(q_sizes)
+        t_idx = shard_indices(len(t_names), num_shards, shard)
+        q_idx = shard_indices(len(q_names), num_shards, shard)
+        my_t = set(t_names[t_idx.start:t_idx.stop])
+        my_q = set(q_names[q_idx.start:q_idx.stop])
+        netter = build_netter([c for c in kept if c.t_name in my_t])
+        if q_net_out is not None:
+            q_netter = build_netter([c for c in kept if c.q_name in my_q])
+    else:
+        netter = build_netter(kept)
+        q_netter = netter
     if rescorer is not None and hasattr(scorer, "score_chains"):
         # exact sub-net rescoring, fully batched: every fill's target-side
         # sub-chain is cut on host and the whole set is scored in one
@@ -624,7 +650,7 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
             return scorer.global_score(chain.subset_on_t(start, end))
     netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
     if q_net_out is not None:
-        netter.output_side(q_net_out, is_q=True, rescorer=None)
+        q_netter.output_side(q_net_out, is_q=True, rescorer=None)
 
 
 def chain_net_main(argv: list[str]) -> int:
@@ -633,7 +659,8 @@ def chain_net_main(argv: list[str]) -> int:
     if len(pos) != 5:
         print("usage: chainNet in.chain target.sizes query.sizes target.net "
               "query.net [-minSpace=N] [-minFill=N] [-minScore=N] [-inclHap] "
-              "[-rescore -tNibDir=t.2bit -qNibDir=q.2bit -linearGap=...]",
+              "[-rescore -tNibDir=t.2bit -qNibDir=q.2bit -linearGap=...] "
+              "[-numShards=N -shard=I]",
               file=sys.stderr)
         return 255
     t_out = sys.stdout if pos[3] == "stdout" else open(pos[3], "w")
@@ -652,6 +679,8 @@ def chain_net_main(argv: list[str]) -> int:
             q_2bit=opts.get("qNibDir"),
             linear_gap=opts.get("linearGap"),
             score_scheme=opts.get("scoreScheme"),
+            num_shards=int(opts.get("numShards", 1)),
+            shard=int(opts.get("shard", 0)),
         )
     finally:
         if t_out is not sys.stdout:

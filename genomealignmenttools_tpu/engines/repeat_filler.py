@@ -190,7 +190,8 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
                   seed_len: int = 10, hsp_threshold: int = 1500,
                   gapped_threshold: int = 2000,
                   ref_quirks: bool = False,
-                  chain_ids: set[int] | None = None) -> None:
+                  chain_ids: set[int] | None = None,
+                  num_shards: int = 1, shard: int = 0) -> None:
     """Full RepeatFiller pipeline over a chain file.
 
     chain_ids: when given, only chains with these ids are processed AND
@@ -201,6 +202,20 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
     with open(chain_path) as f:
         content = f.read()
     chain_lines = [ln + "\n" for ln in content.split("\n")]
+    if num_shards > 1:
+        # deterministic contiguous chain partition (SURVEY §5.8 /
+        # patchChain.perl cluster-job fan-out): shard i keeps the exact
+        # line range of its chains, so concatenating shard outputs in
+        # shard order is byte-identical to a single run
+        from ..parallel.distributed import shard_indices
+        starts = [i for i, ln in enumerate(chain_lines)
+                  if ln.startswith("chain ")]
+        idx = shard_indices(len(starts), num_shards, shard)
+        lo = starts[idx.start] if idx.start < len(starts) else len(chain_lines)
+        if shard == 0:
+            lo = 0  # prelude (meta/blank) lines belong to the first shard
+        hi = starts[idx.stop] if idx.stop < len(starts) else len(chain_lines)
+        chain_lines = chain_lines[lo:hi]
     if chain_ids is not None:
         kept: list[str] = []
         keep = False
@@ -289,6 +304,10 @@ def repeat_filler_main(argv: list[str]) -> int:
     p.add_argument("--unmask", action="store_true",
                    help="align ignoring soft-mask (always on: the seed/"
                         "extend stage works on unmasked codes)")
+    p.add_argument("--numShards", type=int, default=1,
+                   help="deterministic contiguous chain partition; concat "
+                        "of shard outputs == single-run output")
+    p.add_argument("--shard", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
     if a.verbose:
@@ -317,6 +336,7 @@ def repeat_filler_main(argv: list[str]) -> int:
                   chain_min_size_q=a.chainMinSizeQ,
                   gap_min_t=a.gapMinSizeT, gap_min_q=a.gapMinSizeQ,
                   gap_max_t=a.gapMaxSizeT, gap_max_q=a.gapMaxSizeQ,
+                  num_shards=a.numShards, shard=a.shard,
                   score_threshold=a.scoreThreshold,
                   seed_len=a.seedLen, hsp_threshold=a.hspThreshold,
                   ref_quirks=a.refQuirks, chain_ids=chain_ids)

@@ -73,3 +73,35 @@ def test_chain_cleaner_batched_device_path(fixtures_dir, golden_dir, tmp_path):
                                     "chainCleaner.removedSuspects.bed")).read()
     assert chain == open(os.path.join(golden_dir,
                                       "chainCleaner.out.chain")).read()
+
+
+def test_chain_cleaner_sharded_merge_parity(fixtures_dir, golden_dir,
+                                            tmp_path):
+    """Sharded runs (break-list component partition) + merge must be
+    byte-identical to the single run for every shard count."""
+    from genomealignmenttools_tpu.engines.chain_cleaner import (
+        clean_chains, merge_cleaner_shards)
+
+    golden_chain = open(os.path.join(golden_dir,
+                                     "chainCleaner.out.chain")).read()
+    golden_bed = open(os.path.join(
+        golden_dir, "chainCleaner.removedSuspects.bed")).read()
+
+    for n in (2, 3):
+        paths = []
+        for s in range(n):
+            p = str(tmp_path / f"shard_{n}_{s}.json")
+            clean_chains(
+                os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+                os.path.join(fixtures_dir, "target.2bit"),
+                os.path.join(fixtures_dir, "query.2bit"),
+                str(tmp_path / "unused.chain"), str(tmp_path / "unused.bed"),
+                t_sizes=os.path.join(fixtures_dir, "target.chrom.sizes"),
+                q_sizes=os.path.join(fixtures_dir, "query.chrom.sizes"),
+                linear_gap="loose", num_shards=n, shard=s, shard_out=p)
+            paths.append(p)
+        out_chain = tmp_path / f"merged_{n}.chain"
+        out_bed = tmp_path / f"merged_{n}.bed"
+        merge_cleaner_shards(paths, str(out_chain), str(out_bed))
+        assert out_chain.read_text() == golden_chain, f"n={n}"
+        assert out_bed.read_text() == golden_bed, f"n={n}"

@@ -108,3 +108,47 @@ def test_score_chain_sharded_concat_matches(fixtures_dir, golden_dir,
 def test_host0_merge_text_single_process():
     from genomealignmenttools_tpu.parallel.distributed import host0_merge_text
     assert host0_merge_text("abc") == "abc"
+
+
+def test_chain_net_sharded_concat_parity(fixtures_dir, golden_dir, tmp_path):
+    """Per-side chromosome sharding: concatenating shard outputs in shard
+    order is byte-identical to a single chainNet run."""
+    import io
+
+    from genomealignmenttools_tpu.engines.chain_net import chain_net
+
+    args = (os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+            os.path.join(fixtures_dir, "target.chrom.sizes"),
+            os.path.join(fixtures_dir, "query.chrom.sizes"))
+    golden_t = open(os.path.join(golden_dir, "chainNet.target.net")).read()
+    golden_q = open(os.path.join(golden_dir, "chainNet.query.net")).read()
+    for n in (2,):
+        t_parts, q_parts = [], []
+        for s in range(n):
+            t_o, q_o = io.StringIO(), io.StringIO()
+            chain_net(*args, t_o, q_o, num_shards=n, shard=s)
+            t_parts.append(t_o.getvalue())
+            q_parts.append(q_o.getvalue())
+        assert "".join(t_parts) == golden_t
+        assert "".join(q_parts) == golden_q
+
+
+def test_repeat_filler_sharded_concat_parity(fixtures_dir, tmp_path):
+    """Contiguous chain partition: concat of RepeatFiller shard outputs ==
+    the single-run output."""
+    import io
+
+    from genomealignmenttools_tpu.engines.repeat_filler import repeat_filler
+
+    args = (os.path.join(fixtures_dir, "repeatfiller_input.chain"),
+            os.path.join(fixtures_dir, "target.2bit"),
+            os.path.join(fixtures_dir, "query.2bit"))
+    full = io.StringIO()
+    repeat_filler(*args, full)
+    for n in (2,):
+        parts = []
+        for s in range(n):
+            o = io.StringIO()
+            repeat_filler(*args, o, num_shards=n, shard=s)
+            parts.append(o.getvalue())
+        assert "".join(parts) == full.getvalue()
