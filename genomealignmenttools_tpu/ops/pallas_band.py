@@ -1,0 +1,509 @@
+"""Batched banded affine-gap extension on TPU (Pallas).
+
+Device implementation of the bandExt wandering-band DP (ops/band_ext.py,
+itself a bit-exact port of kent jkOwnLib/bandExt.c) for BATCHES of
+extension problems - the SURVEY §7 L3'd kernel.  RepeatFiller/patchChain
+score tens of thousands of per-gap extensions; each is a small sequential
+DP, so the batch runs as a Pallas grid (one problem per step, band rows as
+512-lane vectors), keeping sequences, the DP state, the parent bits and
+the traceback entirely on device.  Only a compact "moves" vector (one
+int per alignment column) and a few scalars return per problem.
+
+Bit-exactness notes (all mirrored from ops/band_ext.py):
+- state arrays are indexed in the C's RAW frame (cur_off/prev_off window
+  bookkeeping), so stale cells carry values from two columns earlier at
+  the same RAW index - reproduced by masked read-modify-write over
+  persistent double buffers selected by column parity;
+- the in-column up-state recurrence is solved as a prefix max of
+  (candidates + k*E) minus k*E (cummax along lanes);
+- ties: diagonal >= left > up; first-maximum argmax for the column best.
+
+Outputs are identical to band_ext() (differential-tested); a numpy
+band_ext loop is the fallback on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MP_MATCH, MP_UP, MP_LEFT, MP_MASK = 1, 2, 3, 3
+UP_EXT = 1 << 2
+LP_EXT = 1 << 3
+
+_CODE = np.full(256, 4, dtype=np.uint8)  # chars -> codes T=0 C=1 A=2 G=3
+for _i, _c in enumerate(b"TCAG"):
+    _CODE[_c] = _i
+    _CODE[_c + 32] = _i
+
+W = 512          # state lane width (>= band_plus = 2*mi+1 + 2*(mi+1))
+GUARD = 128      # dynamic-slice guard each side (requires max_insert < 127)
+W2 = W + 2 * GUARD
+
+
+def _build_kernel(a_max: int, b_pad_total: int, moves_pad: int,
+                  gap_open: int, gap_extend: int, max_insert: int,
+                  global_mode: bool, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    band_size = 2 * max_insert + 1
+    mi1 = max_insert + 1
+    bad = -gap_open * 100
+    max_drop = gap_open + gap_extend * max_insert
+    mid = GUARD + 1 + 2 * max_insert  # raw 'mid' lane (guard included)
+    b_pad_l = GUARD + W               # host-side left pad of the b buffer
+    NEG = -(1 << 30)
+    BPT = b_pad_total
+
+    # Mosaic constraint: dynamic lane offsets must be 128-aligned, so all
+    # window reads go through pltpu.roll with a dynamic (non-negative)
+    # shift + static slices, scalars are extracted with masked reductions,
+    # and the cur/prev double buffering is six separate refs selected by a
+    # column-parity lax.cond.
+
+    def kernel(sizes_ref, mat_ref, a_ref, b_ref, meta_ref, moves_ref,
+               m0, u0, l0, m1, u1, l1, parents, boffs):
+        a_size = sizes_ref[0, 0, 0]
+        b_size = sizes_ref[0, 0, 1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        jraw = lane + GUARD
+        rowl = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+
+        badv = jnp.full((1, W2), bad, jnp.int32)
+        m0[0:1, :] = jnp.where(rowl == mid, 0, badv)
+        seed_mask = (rowl >= mid) & (rowl < mid + max_insert)
+        u0[0:1, :] = jnp.where(seed_mask,
+                               -gap_open - (rowl - mid) * gap_extend, badv)
+        l0[0:1, :] = badv
+        m1[0:1, :] = badv
+        u1[0:1, :] = badv
+        l1[0:1, :] = badv
+
+        def lshift(row_w2, amt):
+            """row shifted so out[i] = row[i + amt] (amt dynamic >= -W2)."""
+            s = jax.lax.rem(amt + 2 * W2, jnp.int32(W2))
+            return pltpu.roll(row_w2, W2 - s, 1)
+
+        def scal_at(row, idx, width):
+            il = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+            return jnp.sum(jnp.where(il == idx, row, 0))
+
+        def col_body(carry):
+            (a_pos, band_center, col_shift, init_gap, best_score, a_best,
+             b_best, done) = carry
+            parity = jax.lax.rem(a_pos, 2)
+
+            a_code = a_ref[0, 0, a_pos]
+            m_scal = [mat_ref[a_code, c] for c in range(5)]
+
+            col_top = jnp.maximum(band_center - max_insert, 0)
+            col_bottom = jnp.minimum(band_center + mi1, b_size)
+            cur_off = GUARD + mi1 + col_top - (band_center - max_insert)
+            n = col_bottom - col_top
+
+            seed_val = jnp.where(a_pos < max_insert, init_gap,
+                                 jnp.int32(bad))
+            init_gap2 = jnp.where(a_pos < max_insert,
+                                  init_gap - gap_extend, init_gap)
+
+            def inner(cur_m, cur_u, cur_l, prev_m, prev_u, prev_l):
+                # cur_u[cur_off-1] = seed (port writes before n<=0 check)
+                u_row = cur_u[0:1, :]
+                u_row = jnp.where(rowl == cur_off - 1, seed_val, u_row)
+                cur_u[0:1, :] = u_row
+
+                def empty_col(_):
+                    parents[pl.ds(a_pos, 1), :] = jnp.zeros((1, W),
+                                                            jnp.int32)
+                    bcs = jnp.int32(bad)
+                    is_new_best = best_score < bcs
+                    is_drop = bcs < best_score - max_drop
+                    if global_mode:
+                        new_done = done
+                    else:
+                        new_done = jnp.where(
+                            jnp.logical_and(~is_new_best, is_drop),
+                            jnp.int32(1), done)
+                    new_shift = jnp.where(
+                        jnp.logical_or(is_new_best, is_drop), col_shift,
+                        jnp.int32(1))
+                    return (best_score, a_best, b_best, new_shift,
+                            new_done)
+
+                def full_col(_):
+                    act = (jraw >= cur_off) & (jraw < cur_off + n)
+                    sh = col_shift
+                    pm_row = prev_m[0:1, :]
+                    pu_row = prev_u[0:1, :]
+                    pl_row = prev_l[0:1, :]
+                    # reads at raw j + sh - 1 and j + sh
+                    pmm1 = lshift(pm_row, sh - 1)[:, GUARD:GUARD + W]
+                    plm1 = lshift(pl_row, sh - 1)[:, GUARD:GUARD + W]
+                    pum1 = lshift(pu_row, sh - 1)[:, GUARD:GUARD + W]
+                    pl0 = lshift(pl_row, sh)[:, GUARD:GUARD + W]
+                    pm0 = lshift(pm_row, sh)[:, GUARD:GUARD + W]
+
+                    # b window: b[col_top + (jraw - cur_off)]
+                    bstart = b_pad_l + GUARD + col_top - cur_off
+                    b_row = b_ref[0, 0:1, :]
+                    sb = jax.lax.rem(bstart + 2 * BPT, jnp.int32(BPT))
+                    bwin = pltpu.roll(b_row, BPT - sb, 1)[:, 0:W]
+                    mrow = jnp.where(
+                        bwin == 0, m_scal[0],
+                        jnp.where(bwin == 1, m_scal[1],
+                                  jnp.where(bwin == 2, m_scal[2],
+                                            jnp.where(bwin == 3, m_scal[3],
+                                                      m_scal[4]))))
+                    use_diag = (pmm1 >= plm1) & (pmm1 >= pum1)
+                    use_left = jnp.logical_and(~use_diag, plm1 > pum1)
+                    base = jnp.where(use_diag, pmm1,
+                                     jnp.where(use_left, plm1, pum1))
+                    m_new = base + mrow
+                    parent = jnp.where(use_diag, MP_MATCH,
+                                       jnp.where(use_left, MP_LEFT, MP_UP))
+
+                    ext = pl0 - gap_extend
+                    opn = pm0 - gap_open
+                    l_ext = ext >= opn
+                    l_new = jnp.where(l_ext, ext, opn)
+                    parent = parent | jnp.where(l_ext, LP_EXT, 0)
+
+                    cu_row = cur_u[0:1, :]
+                    cm_row = cur_m[0:1, :]
+                    seed_u = scal_at(cu_row, cur_off - 1, W2)
+                    seed_m = scal_at(cm_row, cur_off - 1, W2)
+                    k = jraw - cur_off
+                    m_shift = pltpu.roll(m_new, 1, 1)
+                    cand_m = jnp.where(k == 0, seed_m, m_shift)
+                    open_cand = cand_m - gap_open + k * gap_extend
+                    open_cand = jnp.where(
+                        k == 0, jnp.maximum(open_cand,
+                                            seed_u - gap_extend),
+                        open_cand)
+                    open_cand = jnp.where(act, open_cand, NEG)
+                    # prefix max via log-step doubling
+                    v = open_cand
+                    off = 1
+                    while off < W:
+                        shifted = jnp.where(lane < off, NEG,
+                                            pltpu.roll(v, off, 1))
+                        v = jnp.maximum(v, shifted)
+                        off *= 2
+                    u_new = v - k * gap_extend
+                    u_prev = pltpu.roll(u_new, 1, 1)
+                    u_prev = jnp.where(k == 0, seed_u, u_prev)
+                    u_ext = (u_prev - gap_extend) >= (cand_m - gap_open)
+                    parent = parent | jnp.where(u_ext, UP_EXT, 0)
+
+                    # masked write-back into raw lanes [GUARD, GUARD+W)
+                    act2 = (rowl >= cur_off) & (rowl < cur_off + n)
+
+                    def embed(vals_w):
+                        padl = jnp.zeros((1, GUARD), jnp.int32)
+                        return jnp.concatenate([padl, vals_w, padl], axis=1)
+
+                    cur_m[0:1, :] = jnp.where(act2, embed(m_new),
+                                              cur_m[0:1, :])
+                    cur_u[0:1, :] = jnp.where(act2, embed(u_new),
+                                              cur_u[0:1, :])
+                    cur_l[0:1, :] = jnp.where(act2, embed(l_new),
+                                              cur_l[0:1, :])
+
+                    prow = jnp.where(act, parent, 0)
+                    prow = pltpu.roll(prow, W - mi1, 1)
+                    parents[pl.ds(a_pos, 1), :] = prow
+
+                    masked_m = jnp.where(act, m_new, NEG)
+                    best_col_score = jnp.max(masked_m)
+                    best_idx = jnp.min(jnp.where(
+                        masked_m == best_col_score, lane,
+                        jnp.int32(1 << 30)))
+                    best_col_pos = col_top + (best_idx + GUARD) - cur_off
+
+                    is_new_best = best_score < best_col_score
+                    is_drop = best_col_score < best_score - max_drop
+                    nb_score = jnp.where(is_new_best, best_col_score,
+                                         best_score)
+                    nb_a = jnp.where(is_new_best, a_pos, a_best)
+                    nb_b = jnp.where(is_new_best, best_col_pos, b_best)
+                    new_shift = jnp.where(
+                        is_new_best, best_col_pos + 1 - band_center,
+                        jnp.where(is_drop, col_shift, jnp.int32(1)))
+                    if global_mode:
+                        new_done = done
+                    else:
+                        new_done = jnp.where(
+                            jnp.logical_and(~is_new_best, is_drop),
+                            jnp.int32(1), done)
+                    return (nb_score, nb_a, nb_b, new_shift, new_done)
+
+                return jax.lax.cond(n <= 0, empty_col, full_col, 0)
+
+            out = jax.lax.cond(
+                parity == 0,
+                lambda _: inner(m1, u1, l1, m0, u0, l0),
+                lambda _: inner(m0, u0, l0, m1, u1, l1), 0)
+            (best_score, a_best, b_best, col_shift, done) = out
+
+            boffs[0, a_pos] = band_center
+            return (a_pos + 1, band_center + col_shift, col_shift,
+                    init_gap2, best_score, a_best, b_best, done)
+
+        def col_cond(carry):
+            return jnp.logical_and(carry[0] < a_size, carry[7] == 0)
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                jnp.int32(-gap_open), jnp.int32(0), jnp.int32(-1),
+                jnp.int32(-1), jnp.int32(0))
+        (_, _, _, _, best_score, a_best, b_best, _) = jax.lax.while_loop(
+            col_cond, col_body, init)
+
+        if global_mode:
+            ok0 = jnp.logical_and(a_size > 0, b_size > 0)
+        else:
+            ok0 = best_score > 0
+
+        # ---- traceback: moves 1=diag, 2=up (gap in a), 3=left (gap in b)
+        def tb(_):
+            if global_mode:
+                start_a, start_b = a_size - 1, b_size - 1
+            else:
+                start_a, start_b = a_best, b_best
+
+            def tb_body(c):
+                a_pos, b_pos, up_s, left_s, cnt, err = c
+                boc = boffs[0, a_pos]
+                p_off = b_pos - boc + max_insert
+                p_off_c = jnp.maximum(p_off, 0)
+                bad_off = p_off_c >= band_size
+                p_idx = jnp.minimum(p_off_c, band_size - 1)
+                prow = parents[pl.ds(a_pos, 1), :]
+                il = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+                parent = jnp.sum(jnp.where(il == p_idx, prow, 0))
+
+                take_up = up_s == 1
+                take_left = jnp.logical_and(up_s == 0, left_s == 1)
+                move = jnp.where(take_up, 2, jnp.where(take_left, 3, 1))
+                moves_ref[0, 0, cnt] = move
+                da = jnp.where(take_up, 0, 1)
+                db = jnp.where(take_left, 0, 1)
+                p = parent & MP_MASK
+                new_up = jnp.where(
+                    take_up, jnp.where((parent & UP_EXT) != 0, 1, 0),
+                    jnp.where(take_left, 0,
+                              jnp.where(p == MP_UP, 1, 0)))
+                new_left = jnp.where(
+                    take_up, 0,
+                    jnp.where(take_left,
+                              jnp.where((parent & LP_EXT) != 0, 1, 0),
+                              jnp.where(p == MP_LEFT, 1, 0)))
+                return (a_pos - da, b_pos - db, new_up, new_left,
+                        cnt + 1, jnp.where(bad_off, 1, err))
+
+            def tb_cond(c):
+                return jnp.logical_and(
+                    jnp.logical_and(c[0] >= 0, c[1] >= 0), c[5] == 0)
+
+            a_pos, b_pos, _, _, cnt, err = jax.lax.while_loop(
+                tb_cond, tb_body,
+                (start_a.astype(jnp.int32), start_b.astype(jnp.int32),
+                 jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+            def drain_a(c):
+                ap, cnt2 = c
+                moves_ref[0, 0, cnt2] = jnp.int32(3)
+                return (ap - 1, cnt2 + 1)
+
+            def drain_b(c):
+                bp, cnt2 = c
+                moves_ref[0, 0, cnt2] = jnp.int32(2)
+                return (bp - 1, cnt2 + 1)
+
+            a_pos, cnt = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[0] >= 0, err == 0),
+                drain_a, (a_pos, cnt))
+            b_pos, cnt = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[0] >= 0, err == 0),
+                drain_b, (b_pos, cnt))
+            return cnt, err
+
+        def no_tb(_):
+            return jnp.int32(0), jnp.int32(0)
+
+        cnt, err = jax.lax.cond(ok0, tb, no_tb, 0)
+        meta_ref[0, 0, 0] = jnp.where(ok0, 1, 0)
+        meta_ref[0, 0, 1] = best_score
+        meta_ref[0, 0, 2] = a_best
+        meta_ref[0, 0, 3] = b_best
+        meta_ref[0, 0, 4] = cnt
+        meta_ref[0, 0, 5] = err
+        meta_ref[0, 0, 6] = 0
+        meta_ref[0, 0, 7] = 0
+
+    def run(sizes, mat, a_codes, b_codes):
+        n = a_codes.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((5, 5), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, a_max), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, b_pad_total), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, moves_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 1, 128), jnp.int32),
+                jax.ShapeDtypeStruct((n, 1, moves_pad), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, W2), jnp.int32),
+                pltpu.VMEM((1, W2), jnp.int32),
+                pltpu.VMEM((1, W2), jnp.int32),
+                pltpu.VMEM((1, W2), jnp.int32),
+                pltpu.VMEM((1, W2), jnp.int32),
+                pltpu.VMEM((1, W2), jnp.int32),
+                pltpu.VMEM((a_max, W), jnp.int32),
+                pltpu.SMEM((1, a_max), jnp.int32),
+            ],
+        )(sizes, mat, a_codes, b_codes)
+
+    return run
+
+
+class BandExtBatch:
+    """Batched band_ext: Pallas on TPU, numpy band_ext loop elsewhere.
+
+    run(problems): problems = [(a_seq: bytes, b_seq: bytes, direction)].
+    Returns [(ok, sym_a, sym_b, a_best, b_best)] identical to
+    ops.band_ext.band_ext per problem.
+    """
+
+    def __init__(self, global_mode: bool, char_matrix: np.ndarray,
+                 gap_open: int, gap_extend: int, max_insert: int,
+                 a_max: int = 2048, interpret: bool = False):
+        if max_insert >= GUARD:
+            raise ValueError(f"max_insert must be < {GUARD}")
+        self.interpret = interpret
+        self.global_mode = global_mode
+        self.char_matrix = char_matrix
+        self.gap_open = gap_open
+        self.gap_extend = gap_extend
+        self.max_insert = max_insert
+        self.a_max = a_max
+        mat = np.zeros((5, 5), np.int32)
+        for i, ca in enumerate(b"TCAGN"):
+            for j, cb in enumerate(b"TCAGN"):
+                mat[i, j] = char_matrix[ca, cb]
+        self.mat = mat
+        self._shape = None
+
+    def _device_ok(self) -> bool:
+        import os
+        if self.interpret:
+            return True
+        if os.environ.get("GAT_BAND", "auto") == "host":
+            return False
+        import jax
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:
+            return False
+
+    def run(self, problems):
+        if not problems:
+            return []
+        if not self._device_ok():
+            from .band_ext import band_ext
+            return [band_ext(self.global_mode, self.char_matrix,
+                             self.gap_open, self.gap_extend,
+                             self.max_insert, a, b, d)
+                    for a, b, d in problems]
+        return self._run_device(problems)
+
+    def _run_device(self, problems):
+        import jax.numpy as jnp
+        n = len(problems)
+        a_max = self.a_max
+        b_max = max(len(b) for _a, b, _d in problems)
+        b_max = max(128, -(-b_max // 128) * 128)
+        moves_pad = -(-(a_max + b_max + 2) // 128) * 128
+        b_pad_total = b_max + 2 * (GUARD + W)
+        shape = (a_max, b_pad_total, moves_pad)
+        if self._shape != shape:
+            self._runner = _build_kernel(
+                a_max, b_pad_total, moves_pad, self.gap_open,
+                self.gap_extend, self.max_insert, self.global_mode,
+                interpret=self.interpret)
+            self._shape = shape
+        sizes = np.zeros((n, 1, 128), np.int32)
+        a_arr = np.zeros((n, 1, a_max), np.int32)
+        b_arr = np.full((n, 1, b_pad_total), 4, np.int32)
+        seqs = []
+        for i, (a_seq, b_seq, direction) in enumerate(problems):
+            a = np.frombuffer(a_seq, np.uint8)
+            b = np.frombuffer(b_seq, np.uint8)
+            if direction < 0:
+                a = a[::-1]
+                b = b[::-1]
+            if a.shape[0] > a_max:
+                raise ValueError(f"a_seq longer than a_max={a_max}")
+            sizes[i, 0, 0] = a.shape[0]
+            sizes[i, 0, 1] = b.shape[0]
+            a_arr[i, 0, :a.shape[0]] = _CODE[a]
+            b_arr[i, 0, GUARD + W:GUARD + W + b.shape[0]] = _CODE[b]
+            seqs.append((a, b, direction))
+        meta, moves = self._runner(
+            jnp.asarray(sizes), jnp.asarray(self.mat),
+            jnp.asarray(a_arr), jnp.asarray(b_arr))
+        meta = np.asarray(meta)[:, 0, :]
+        moves = np.asarray(moves)[:, 0, :]
+        out = []
+        from .band_ext import band_ext
+        for i, (a, b, direction) in enumerate(seqs):
+            ok, score, a_best, b_best, cnt, err = (int(v) for v in
+                                                   meta[i, :6])
+            if err or sizes[i, 0, 0] == 0 or sizes[i, 0, 1] == 0:
+                # out-of-band traceback or empty input: exact host
+                # behavior (assert in local mode, False in global)
+                out.append(band_ext(
+                    self.global_mode, self.char_matrix, self.gap_open,
+                    self.gap_extend, self.max_insert,
+                    problems[i][0], problems[i][1], problems[i][2]))
+                continue
+            if not ok:
+                out.append((False, b"", b"", a_best, b_best))
+                continue
+            mv = moves[i, :cnt]
+            a_used = mv != 2
+            b_used = mv != 3
+            # traceback starts at (a_best, b_best) in local mode, at the
+            # sequence ends in global mode; moves run end -> start
+            start_a = (int(sizes[i, 0, 0]) - 1 if self.global_mode
+                       else a_best)
+            start_b = (int(sizes[i, 0, 1]) - 1 if self.global_mode
+                       else b_best)
+            a_idx = (start_a + 1) - np.cumsum(a_used)
+            b_idx = (start_b + 1) - np.cumsum(b_used)
+            sym_a = np.where(a_used, a[np.minimum(a_idx, len(a) - 1)],
+                             ord("-")).astype(np.uint8)
+            sym_b = np.where(b_used, b[np.minimum(b_idx, len(b) - 1)],
+                             ord("-")).astype(np.uint8)
+            out_a = sym_a.tobytes()
+            out_b = sym_b.tobytes()
+            if direction > 0:
+                out_a = out_a[::-1]
+                out_b = out_b[::-1]
+            out.append((True, out_a, out_b, a_best, b_best))
+        return out

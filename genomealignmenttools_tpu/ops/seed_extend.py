@@ -102,7 +102,7 @@ class GapAligner:
                  gapped_threshold: int | None = None,
                  gap_open: int = 400, gap_extend: int = 30,
                  char_matrix: np.ndarray | None = None,
-                 max_insert: int = 100, max_ext: int = 5_000):
+                 max_insert: int = 100, max_ext: int = 2_000):
         self.lut = np.asarray(lut, dtype=np.int64)
         self.seed_len = seed_len
         self.hsp_threshold = hsp_threshold
@@ -155,10 +155,24 @@ class GapAligner:
                                    q_anchor - q_off1, q_anchor - q_off0])
         return blocks, score
 
+    def _band_batch(self):
+        cached = getattr(self, "_band_batch_obj", None)
+        if cached is None:
+            from .pallas_band import BandExtBatch
+            cached = self._band_batch_obj = BandExtBatch(
+                False, self.char_matrix, self.gap_open, self.gap_extend,
+                self.max_insert, a_max=max(256, -(-self.max_ext // 128)
+                                           * 128))
+        return cached
+
     def _gapped(self, hsps: list, t_region: np.ndarray, q_region: np.ndarray,
                 t_lo: int, q_lo: int) -> list:
-        """Extend HSPs across indels; keep alignments scoring >= L."""
-        from .band_ext import band_ext
+        """Extend HSPs across indels; keep alignments scoring >= L.
+
+        All (left, right) extension problems are built up front and run
+        through the batched banded-DP kernel (ops/pallas_band: Pallas on
+        TPU, the numpy band_ext loop elsewhere - identical results), then
+        the best-first coverage replay uses the batch results."""
         if self.char_matrix is None:
             from ..formats.scorematrix import score_scheme_default
             self.char_matrix = score_scheme_default().char_matrix()
@@ -167,9 +181,21 @@ class GapAligner:
         tn, qn = t_region.shape[0], q_region.shape[0]
         # best-first; skip anchors already covered by an emitted alignment
         hsps = sorted(hsps, key=lambda b: -b[4])
+        probs = []
+        for tS, tE, qS, qE, _score in hsps:
+            rt0, rt1 = tS - t_lo, tE - t_lo
+            rq0, rq1 = qS - q_lo, qE - q_lo
+            probs.append((
+                t_chars[rt1:min(tn, rt1 + self.max_ext)].tobytes(),
+                q_chars[rq1:min(qn, rq1 + self.max_ext)].tobytes(), 1))
+            probs.append((
+                t_chars[max(0, rt0 - self.max_ext):rt0].tobytes(),
+                q_chars[max(0, rq0 - self.max_ext):rq0].tobytes(), -1))
+        exts = self._band_batch().run(probs)
+
         covered: list[tuple[int, int, int]] = []  # (diag, t0, t1) in region
         out = []
-        for tS, tE, qS, qE, hsp_score in hsps:
+        for hi, (tS, tE, qS, qE, hsp_score) in enumerate(hsps):
             rt0, rt1 = tS - t_lo, tE - t_lo
             rq0 = qS - q_lo
             diag = rt0 - rq0
@@ -178,23 +204,12 @@ class GapAligner:
                 continue
             total = hsp_score
             blocks = [[tS, tE, qS, qE]]
-            rq1 = qE - q_lo
-            # right extension
-            ok, t_sym, q_sym, _, _ = band_ext(
-                False, self.char_matrix, self.gap_open, self.gap_extend,
-                self.max_insert,
-                t_chars[rt1:min(tn, rt1 + self.max_ext)].tobytes(),
-                q_chars[rq1:min(qn, rq1 + self.max_ext)].tobytes(), 1)
+            ok, t_sym, q_sym, _, _ = exts[2 * hi]       # right extension
             if ok:
                 eb, es = self._ext_blocks_and_score(t_sym, q_sym, tE, qE, 1)
                 blocks.extend(eb)
                 total += es
-            # left extension
-            ok, t_sym, q_sym, _, _ = band_ext(
-                False, self.char_matrix, self.gap_open, self.gap_extend,
-                self.max_insert,
-                t_chars[max(0, rt0 - self.max_ext):rt0].tobytes(),
-                q_chars[max(0, rq0 - self.max_ext):rq0].tobytes(), -1)
+            ok, t_sym, q_sym, _, _ = exts[2 * hi + 1]   # left extension
             if ok:
                 eb, es = self._ext_blocks_and_score(t_sym, q_sym, tS, qS, -1)
                 blocks.extend(eb)
