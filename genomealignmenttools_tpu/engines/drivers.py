@@ -56,12 +56,14 @@ def _check_axt_entry(t_seq: str, q_seq: str, min_ident: float,
     n = len(t_seq)
     t_low = t_seq.lower()
     q_low = q_seq.lower()
-    counts = {c: np.zeros(n + 1, np.int64) for c in "actg"}
+    t_arr = np.frombuffer(t_low.encode(), np.uint8)
+    q_arr = np.frombuffer(q_low.encode(), np.uint8)
+    counts = {}
+    for c in "actg":
+        counts[c] = np.zeros(n + 1, np.int64)
+        np.cumsum(t_arr == ord(c), out=counts[c][1:])
     matches = np.zeros(n + 1, np.int64)
-    for i in range(n):
-        for c in "actg":
-            counts[c][i + 1] = counts[c][i] + (1 if t_low[i] == c else 0)
-        matches[i + 1] = matches[i] + (1 if q_low[i] == t_low[i] else 0)
+    np.cumsum(t_arr == q_arr, out=matches[1:])
 
     def num(arr, i, j):
         return int(arr[j] - arr[i])
