@@ -165,12 +165,15 @@ class NetFilterNonNested:
                 cur_net = i
                 net_kept[cur_net] = 0
                 continue
-            m = _FILL_RE.match(line)
-            if m is None:
-                raise ValueError(f"expect fill or gap in {line!r}")
+            # manual leading-space scan (the _FILL_RE regex is the hot
+            # cost at chr1 scale; semantics identical)
+            level = len(line) - len(line.lstrip(" "))
+            rest = line[level:]
+            if level < 1 or not rest or rest[0] not in "fg":
+                m = _FILL_RE.match(line)
+                if m is None:
+                    raise ValueError(f"expect fill or gap in {line!r}")
             net_of_line[i] = cur_net
-            level = len(m.group(1))
-            rest = m.group(2)
             if level > max_level:
                 max_level = level
             if not rest.startswith("fill"):
@@ -195,10 +198,11 @@ class NetFilterNonNested:
                 if mf is None:
                     raise ValueError(f"cannot parse qFar field from: {rest}")
                 q_far = int(mf.group(1))
-            ms = re.search(r"score (\d+) ", rest) or re.search(r"score (\d+)$", rest)
-            if ms is None:
+            si = rest.find(" score ")
+            if si < 0:
                 raise ValueError(f"no score field in fill line: {rest}")
-            score = int(ms.group(1))
+            se = rest.find(" ", si + 7)
+            score = int(rest[si + 7:] if se < 0 else rest[si + 7:se])
 
             if self.passes(score, int(w[2]), int(w[6]), typ, ali, q_far,
                            level, level2_skipped):
@@ -218,10 +222,12 @@ class NetFilterNonNested:
                 if net_kept.get(i, 0) > 0:
                     out.write(line + "\n")
             if i not in skip:
-                m = _FILL_RE.match(line)
-                if m is not None:
-                    level = len(m.group(1)) - minus_spaces.get(i, 0)
-                    out.write(" " * level + m.group(2) + "\n")
+                level = len(line) - len(line.lstrip(" "))
+                if level >= 1:
+                    if i in minus_spaces:
+                        out.write(line[minus_spaces[i]:] + "\n")
+                    else:
+                        out.write(line + "\n")
 
     @staticmethod
     def _erase_gaps_mark_skip(lines, start_idx, level, skip, minus_spaces):
@@ -229,10 +235,9 @@ class NetFilterNonNested:
             line = lines[i]
             if line.startswith("net "):
                 return
-            m = _FILL_RE.match(line)
-            if m is None:
+            cur_level = len(line) - len(line.lstrip(" "))
+            if cur_level < 1:
                 raise ValueError(f"expect fill or gap in {line!r}")
-            cur_level = len(m.group(1))
             if cur_level <= level:
                 return
             if cur_level == level + 1:
