@@ -110,6 +110,58 @@ def bench_cleaner(work_dir):
             "byte_identical_vs_C": parity}
 
 
+def bench_chainnet_rescore(work_dir):
+    """chainNet -rescore (exact sub-net rescoring) at chr1 scale vs C."""
+    from genomealignmenttools_tpu.engines.chain_net import chain_net
+    from genomealignmenttools_tpu.utils.bench_workload import (
+        build_cleaner_workload)
+
+    m = build_cleaner_workload(os.path.join(work_dir, "cleaner"))
+    d = os.path.join(work_dir, "cleaner")
+    c_t = os.path.join(d, "c_rescore.t.net")
+    c_q = os.path.join(d, "c_rescore.q.net")
+    c_time_path = os.path.join(d, "C_NET_TIME.json")
+    c_total = None
+    if os.path.exists(c_time_path):
+        c_total = json.load(open(c_time_path))["c_total_s"]
+    elif _have_ref():
+        env = dict(os.environ)
+        env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
+
+        def run_c():
+            t0 = time.time()
+            subprocess.run(
+                ["chainNet", "-rescore", "-linearGap=loose",
+                 "-tNibDir=" + m["t2bit"], "-qNibDir=" + m["q2bit"],
+                 m["chain"], m["t_sizes"], m["q_sizes"], c_t, c_q],
+                env=env, check=True, capture_output=True)
+            return time.time() - t0
+
+        c_total = min(run_c(), run_c())
+        json.dump({"c_total_s": c_total}, open(c_time_path, "w"))
+
+    g_t = os.path.join(d, "gat_rescore.t.net")
+    g_q = os.path.join(d, "gat_rescore.q.net")
+
+    def run_once():
+        t0 = time.time()
+        with open(g_t, "w") as t_out, open(g_q, "w") as q_out:
+            chain_net(m["chain"], m["t_sizes"], m["q_sizes"], t_out, q_out,
+                      rescore=True, t_2bit=m["t2bit"], q_2bit=m["q2bit"],
+                      linear_gap="loose")
+        return time.time() - t0
+
+    cold = run_once()
+    warm = min(run_once(), run_once())
+    parity = None
+    if os.path.exists(c_t):
+        parity = (open(g_t).read() == open(c_t).read()
+                  and open(g_q).read() == open(c_q).read())
+    return {"c_total_s": round(c_total, 2) if c_total else None,
+            "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+            "byte_identical_vs_C": parity}
+
+
 def bench_rescore(work_dir):
     """Warm rescore throughput + cold scoreChain end-to-end."""
     from genomealignmenttools_tpu.device.genome import Genome
@@ -131,6 +183,20 @@ def bench_rescore(work_dir):
                      linear_gap="loose")
     cold_s = time.time() - t0
 
+    # the all-native host path (GAT_RESCORE=hostnative): the right choice
+    # for one-shot cold scoring when the host<->device link is narrow
+    os.environ["GAT_RESCORE"] = "hostnative"
+    try:
+        t0 = time.time()
+        score_chain_file(meta["chain"], meta["t2bit"], meta["q2bit"],
+                         os.path.join(work_dir, "scored_hn.chain"),
+                         linear_gap="loose")
+        cold_hn_s = time.time() - t0
+        assert (open(os.path.join(work_dir, "scored_hn.chain")).read()
+                == open(os.path.join(work_dir, "scored.chain")).read())
+    finally:
+        del os.environ["GAT_RESCORE"]
+
     chains = read_chains(meta["chain"])
     scorer = DeviceChainScorer(score_scheme_default(), gap_calc_default(),
                                Genome(meta["t2bit"]), Genome(meta["q2bit"]))
@@ -147,7 +213,8 @@ def bench_rescore(work_dir):
     warm_mb_s = ali_mb / min(times)
     return {"warm_mb_s": round(warm_mb_s, 1),
             "cold_e2e_s": round(cold_s, 2),
-            "cold_e2e_mb_s": round(ali_mb / cold_s, 1)}
+            "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
+            "cold_e2e_hostnative_s": round(cold_hn_s, 2)}
 
 
 def main():
@@ -155,6 +222,7 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
 
     cleaner = bench_cleaner(work_dir)
+    net_rescore = bench_chainnet_rescore(work_dir)
     rescore = bench_rescore(work_dir)
 
     base = json.load(open(BASELINE_PATH)) if os.path.exists(BASELINE_PATH) \
@@ -169,12 +237,14 @@ def main():
         "vs_baseline": vs,
         "extra": {
             "cleaner": cleaner,
+            "chainnet_rescore": net_rescore,
             "rescore_throughput_mb_s": rescore["warm_mb_s"],
             "rescore_vs_c_scorechain": round(
                 rescore["warm_mb_s"] / base["c_scorechain_mb_s"], 2)
                 if base.get("c_scorechain_mb_s") else None,
             "scorechain_cold_e2e_s": rescore["cold_e2e_s"],
             "scorechain_cold_e2e_mb_s": rescore["cold_e2e_mb_s"],
+            "scorechain_cold_hostnative_s": rescore["cold_e2e_hostnative_s"],
         },
     }))
 

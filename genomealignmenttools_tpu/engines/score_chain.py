@@ -62,7 +62,11 @@ def score_chain_file(
 
     from ..utils.profiling import phase
     with phase("read chains"):
-        chains = list(iter_chains(in_chain))
+        if isinstance(in_chain, str):
+            from ..formats.chain import read_chains
+            chains = read_chains(in_chain)  # native codec
+        else:
+            chains = list(iter_chains(in_chain))
     if num_shards > 1:
         from ..parallel.distributed import shard_indices
         idx = shard_indices(len(chains), num_shards, shard)
@@ -91,8 +95,9 @@ def score_chain_file(
                 out.write(f"{chain.id}\t{chain.t_start}\t{chain.t_end}\t"
                           f"{format_score(global_score)}\t"
                           f"{format_score(local_score)}\t{ali_bases}\n")
-            else:
-                out.write(chain.to_text())
+        if not (return_only_score or return_only_score_and_coords):
+            from ..formats.chain import write_chains
+            write_chains(chains, out)  # native chainWrite-exact serializer
     finally:
         if out is not sys.stdout:
             out.close()

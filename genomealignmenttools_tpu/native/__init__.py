@@ -94,6 +94,12 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.gat_chunk_scores_host.restype = None
+    lib.gat_chunk_scores_host.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int,
+    ]
     lib.gat_segment_sum.restype = None
     lib.gat_segment_sum.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),

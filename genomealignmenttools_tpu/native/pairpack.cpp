@@ -87,6 +87,36 @@ void gat_pack_pairs_combined(const uint8_t* t_codes, const uint8_t* q_codes,
     for (auto& th : threads) th.join();
 }
 
+// Host scoring of combined tiles: per-row sum of lut25[c8] (the same
+// evaluation the device kernel performs), threaded.  Lets one-shot
+// workloads score at memory speed without touching the accelerator
+// (cold single passes are link-latency bound on narrow host<->TPU paths).
+void gat_chunk_scores_host(const uint8_t* c8, int64_t n_rows, int64_t chunk,
+                           const int32_t* lut25, int16_t* out,
+                           int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; ++r) {
+            const uint8_t* row = c8 + r * chunk;
+            int32_t acc = 0;
+            for (int64_t j = 0; j < chunk; ++j) acc += lut25[row[j]];
+            out[r] = (int16_t)acc;
+        }
+    };
+    if (n_threads == 1 || n_rows < 4096) {
+        worker(0, n_rows);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = lo + per < n_rows ? lo + per : n_rows;
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // Sorted-segment sum: add chunk scores into per-block totals.
 //   chunk_scores: n_chunks int32, c_block: sorted block id per chunk
 //   out: n_blocks int64, must be zero-initialized

@@ -172,8 +172,18 @@ class PairBlockScorer:
     device round trip; block_scores is the single-job convenience."""
 
     def __init__(self, lut: np.ndarray, t_genome, q_genome,
-                 tile_sharding=None):
-        self.packed_lut = jnp.asarray(pack_lut(lut))
+                 tile_sharding=None, host_native: bool = False):
+        self.host_native = host_native
+        if host_native:
+            lut25 = np.zeros(25, np.int32)
+            for q in range(5):
+                for t in range(5):
+                    lut25[q * 5 + t] = lut[q, t]
+            # pad to 256 so any byte value indexes safely
+            self.lut25 = np.zeros(256, np.int32)
+            self.lut25[:25] = lut25
+        else:
+            self.packed_lut = jnp.asarray(pack_lut(lut))
         self.t_genome = t_genome
         self.q_genome = q_genome
         self.tile_sharding = tile_sharding  # NamedSharding for multi-chip
@@ -266,11 +276,62 @@ class PairBlockScorer:
     def chunk_scores_multi(self, jobs):
         """Streamed tile scoring: fixed-shape kernel dispatches pipeline
         asynchronously; one sync at the end.  Returns (chunk_scores
-        int16[m], c_block, n_blocks)."""
+        int16[m], c_block, n_blocks).
+
+        host_native mode evaluates the same combined tiles with the
+        threaded C++ LUT-sum (native/pairpack.cpp) - no accelerator
+        involved; bit-identical."""
+        if self.host_native:
+            c8, c_block, m, n_blocks = self._pack_multi_host(jobs)
+            from ..native import get_lib
+            lib = get_lib()
+            import ctypes
+            out = np.empty(m, np.int16)
+            lib.gat_chunk_scores_host(
+                c8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
+                CHUNK, self.lut25.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                min(os.cpu_count() or 1, 16))
+            return out, c_block, n_blocks
         dev_tiles, c_block, m, n_blocks = self._pack_multi_tiles(jobs)
         parts = [_pair_scores_kernel(t, self.packed_lut) for t in dev_tiles]
         cs = np.concatenate([np.asarray(p) for p in parts])[:m]
         return cs, c_block, n_blocks
+
+    def _pack_multi_host(self, jobs):
+        """Host-side combined tiles (no device transfer), cached."""
+        ck = ("host",) + tuple(id(b) for (_, _, _, b) in jobs)
+        hit = self._pack_cache.get(ck)
+        if hit is not None and all(a is b for a, (_, _, _, b) in
+                                   zip(hit[0], jobs)):
+            return hit[1]
+        parts = []
+        c_blocks = []
+        block_base = 0
+        for (tn, qn, strand, blocks) in jobs:
+            c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks)
+            parts.append((self.t_genome.codes(tn, "+"),
+                          self.q_genome.codes(qn, strand),
+                          c_toff, c_qoff, c_len))
+            c_blocks.append(c_block + block_base)
+            block_base += blocks.shape[0]
+        m = sum(p[2].shape[0] for p in parts)
+        c8 = np.empty((max(m, 1), CHUNK), np.uint8)
+        row = 0
+        for (tc, qc, c_toff, c_qoff, c_len) in parts:
+            k = c_toff.shape[0]
+            _fill_combined(np.ascontiguousarray(tc),
+                           np.ascontiguousarray(qc),
+                           c_toff, c_qoff, c_len, c8[row:row + k], k, CHUNK)
+            row += k
+        c_block_all = np.concatenate(c_blocks) if c_blocks \
+            else np.zeros(0, np.int64)
+        packed = (c8, c_block_all, m, block_base)
+        if len(self._pack_cache) > 16:
+            self._pack_cache.clear()
+        self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
+        return packed
 
     def block_scores_multi(self, jobs) -> np.ndarray:
         cs, c_block, n_blocks = self.chunk_scores_multi(jobs)

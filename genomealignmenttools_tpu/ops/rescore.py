@@ -189,6 +189,12 @@ class DeviceChainScorer:
             from .pair_rescore import PairBlockScorer
             self._dev = PairBlockScorer(np.asarray(scheme.lut), t_genome,
                                         q_genome)
+        elif mode == "hostnative":
+            # threaded C++ pack + LUT-sum + combine, no accelerator: the
+            # right path for one-shot cold scoring on narrow host links
+            from .pair_rescore import PairBlockScorer
+            self._dev = PairBlockScorer(np.asarray(scheme.lut), t_genome,
+                                        q_genome, host_native=True)
         elif mode == "pallas":
             from .pallas_rescore import PallasBlockScorer
             self._dev = PallasBlockScorer(

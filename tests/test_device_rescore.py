@@ -131,3 +131,25 @@ def test_device_combine_randomized(fixtures_dir):
     got = dev.score_chains(chains)
     want = [host.global_and_local(c) for c in chains]
     assert got == want
+
+
+def test_hostnative_scorer_matches_golden(fixtures_dir, golden_dir, tmp_path):
+    """GAT_RESCORE=hostnative (threaded C++ pack + LUT-sum + combine, no
+    accelerator) must produce byte-identical scoreChain output."""
+    import os
+
+    from genomealignmenttools_tpu.engines.score_chain import score_chain_file
+    from genomealignmenttools_tpu.ops.rescore import DeviceChainScorer
+
+    def factory(scheme, gap_calc, t_genome, q_genome):
+        return DeviceChainScorer(scheme, gap_calc, t_genome, q_genome,
+                                 mode="hostnative")
+
+    out = tmp_path / "hn.chain"
+    score_chain_file(
+        os.path.join(fixtures_dir, "synthetic.chain"),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"),
+        str(out), linear_gap="loose", scorer_factory=factory)
+    golden = open(os.path.join(golden_dir, "scoreChain.loose.chain")).read()
+    assert out.read_text() == golden
