@@ -97,8 +97,14 @@ def bench_cleaner(work_dir):
                      linear_gap="loose")
         return time.time() - t0
 
-    cold = run_once()          # includes jax init/compile-cache load
-    warm = min(run_once(), run_once())
+    cold = run_once()          # includes jax init + kernel compiles
+    warm_dev = min(run_once(), run_once())
+    # the all-native backend (byte-identical); wins on narrow host links
+    os.environ["GAT_RESCORE"] = "hostnative"
+    try:
+        warm_host = min(run_once(), run_once())
+    finally:
+        del os.environ["GAT_RESCORE"]
 
     parity = None
     if os.path.exists(c_chain):
@@ -106,7 +112,10 @@ def bench_cleaner(work_dir):
                   and open(out_bed).read() == open(c_bed).read())
 
     return {"c_total_s": round(c_total, 2) if c_total else None,
-            "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+            "cold_s": round(cold, 2),
+            "warm_s": round(min(warm_dev, warm_host), 2),
+            "warm_device_s": round(warm_dev, 2),
+            "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}
 
 
@@ -152,13 +161,21 @@ def bench_chainnet_rescore(work_dir):
         return time.time() - t0
 
     cold = run_once()
-    warm = min(run_once(), run_once())
+    warm_dev = min(run_once(), run_once())
+    os.environ["GAT_RESCORE"] = "hostnative"
+    try:
+        warm_host = min(run_once(), run_once())
+    finally:
+        del os.environ["GAT_RESCORE"]
     parity = None
     if os.path.exists(c_t):
         parity = (open(g_t).read() == open(c_t).read()
                   and open(g_q).read() == open(c_q).read())
     return {"c_total_s": round(c_total, 2) if c_total else None,
-            "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+            "cold_s": round(cold, 2),
+            "warm_s": round(min(warm_dev, warm_host), 2),
+            "warm_device_s": round(warm_dev, 2),
+            "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}
 
 
