@@ -350,11 +350,20 @@ class Netter:
             self._out_fill(out, fill, depth + 1, is_q, rescorer)
 
 
+def _full_ali(chain: Chain) -> int:
+    """Total aligned bases, memoized per chain (read-only after parse)."""
+    v = getattr(chain, "_full_ali", None)
+    if v is None:
+        b = chain.blocks
+        v = chain._full_ali = int((b[:, 1] - b[:, 0]).sum())
+    return v
+
+
 def _subchain_info(chain: Chain, start: int, end: int, is_q: bool,
                    rescorer) -> tuple[int, float]:
     """subchainInfo (chainNet.c:795-843): (subSize, subScore)."""
     b = chain.blocks
-    full_size = int((b[:, 1] - b[:, 0]).sum())
+    full_size = _full_ali(chain)
     if is_q:
         if chain.q_strand == "-":
             start, end = chain.q_size - end, chain.q_size - start
@@ -421,8 +430,10 @@ class NativeNetTree:
         nodes_arr, segs, names, sizes = self._side(is_q)
         nodes = nodes_arr.tolist()  # plain ints: ~5x faster walk
         chains = self.chains
+        parts: list[str] = []
+        app = parts.append
         for ci, lo, hi in segs:
-            out.write(f"net {names[ci]} {sizes[ci]}\n")
+            app(f"net {names[ci]} {sizes[ci]}\n")
             i = int(lo)
             hi = int(hi)
             while i < hi:
@@ -430,24 +441,29 @@ class NativeNetTree:
                 chain = chains[cidx]
                 o_chrom = chain.t_name if is_q else chain.q_name
                 if is_gap:
-                    out.write(" " * depth +
-                              f"gap {s} {e - s} {o_chrom} {chain.q_strand} "
-                              f"{os_} {oe - os_}\n")
+                    app(" " * depth +
+                        f"gap {s} {e - s} {o_chrom} {chain.q_strand} "
+                        f"{os_} {oe - os_}\n")
                     i += 1
                     continue
                 sub_size, sub_score = _subchain_info(
                     chain, s, e, is_q, rescorer)
                 if sub_score >= self.min_score and sub_size >= self.min_fill:
-                    out.write(" " * depth +
-                              f"fill {s} {e - s} {o_chrom} {chain.q_strand} "
-                              f"{os_} {oe - os_} id {chain.id} "
-                              f"score {sub_score:.0f} ali {sub_size}\n")
+                    app(" " * depth +
+                        f"fill {s} {e - s} {o_chrom} {chain.q_strand} "
+                        f"{os_} {oe - os_} id {chain.id} "
+                        f"score {sub_score:.0f} ali {sub_size}\n")
                     i += 1
                 else:  # prune the whole subtree
                     j = i + 1
                     while j < hi and nodes[j][1] > depth:
                         j += 1
                     i = j
+            if len(parts) > 65536:
+                out.write("".join(parts))
+                parts = []
+                app = parts.append
+        out.write("".join(parts))
 
 
 def _native_net_tree(chains, t_sizes: dict, q_sizes: dict, min_space: int,
