@@ -294,6 +294,10 @@ class ChainCleaner:
                 cur_net = net_idx
                 depth2gap = {}
                 depth2chain = {}
+            if cid < 0:
+                raise ValueError(
+                    "fill line without an id tag in net input (cannot "
+                    "resolve break structure)")
             if cid:
                 depth2chain[depth] = cid
                 if depth > 1:
@@ -1100,7 +1104,8 @@ def merge_cleaner_shards(shard_paths: list[str], out_chain_path: str,
 
 def clean_chains_distributed(in_chain: str, t_2bit: str, q_2bit: str,
                              out_chain_path: str, out_bed_path: str,
-                             work_dir: str, **kw) -> None:
+                             work_dir: str, max_gather_bytes: int = 1 << 29,
+                             **kw) -> None:
     """Multi-host chainCleaner: every jax process runs its shard, bundles
     are gathered to process 0 over the ICI/DCN collective
     (parallel/distributed.host0_merge_text) and merged there."""
@@ -1117,8 +1122,11 @@ def clean_chains_distributed(in_chain: str, t_2bit: str, q_2bit: str,
                  num_shards=n, shard=me, shard_out=shard_path, **kw)
     if n == 1:
         return
-    # gather bundles (length-prefixed) to every process; 0 writes
-    merged = host0_merge_text(open(shard_path).read() + "\x00")
+    # gather bundles (length-prefixed) to every process; 0 writes.  The
+    # buffer cap must cover shard 0's bundle (it embeds the pass-through
+    # chain text) - default 512 MB, configurable for larger inputs.
+    merged = host0_merge_text(open(shard_path).read() + "\x00",
+                              max_bytes=max_gather_bytes)
     if me == 0:
         parts = [p for p in merged.split("\x00") if p]
         paths = []

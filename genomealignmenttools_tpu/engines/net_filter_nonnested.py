@@ -166,13 +166,12 @@ class NetFilterNonNested:
                 net_kept[cur_net] = 0
                 continue
             # manual leading-space scan (the _FILL_RE regex is the hot
-            # cost at chr1 scale; semantics identical)
+            # cost at chr1 scale); same accept/reject set as _FILL_RE
             level = len(line) - len(line.lstrip(" "))
             rest = line[level:]
-            if level < 1 or not rest or rest[0] not in "fg":
-                m = _FILL_RE.match(line)
-                if m is None:
-                    raise ValueError(f"expect fill or gap in {line!r}")
+            if level < 1 or not (rest.startswith("fill ")
+                                 or rest.startswith("gap ")):
+                raise ValueError(f"expect fill or gap in {line!r}")
             net_of_line[i] = cur_net
             if level > max_level:
                 max_level = level
@@ -236,7 +235,8 @@ class NetFilterNonNested:
             if line.startswith("net "):
                 return
             cur_level = len(line) - len(line.lstrip(" "))
-            if cur_level < 1:
+            if cur_level < 1 or not (line[cur_level:].startswith("fill ")
+                                     or line[cur_level:].startswith("gap ")):
                 raise ValueError(f"expect fill or gap in {line!r}")
             if cur_level <= level:
                 return

@@ -98,7 +98,10 @@ GatNetScan* gat_net_scan(const char* buf, int64_t len) {
     parse_int(p);  // qSize
     int64_t id = 0;
     if (is_fill) {
-      // scan tag/value pairs for "id"
+      // scan tag/value pairs for "id"; a fill without an id cannot be
+      // used for break finding - flag it (-1) so the caller can error
+      // instead of silently treating it as a gap
+      id = -1;
       while (p < line_end) {
         while (*p == ' ') ++p;
         if (p >= line_end) break;

@@ -189,14 +189,9 @@ class PairBlockScorer:
         self.tile_sharding = tile_sharding  # NamedSharding for multi-chip
         self._pack_cache: dict[tuple, tuple] = {}
 
-    def _pack_multi(self, jobs):
-        """jobs: list of (t_name, q_name, q_strand, blocks).  Returns
-        (dev_t8, dev_q8, c_block_all, m, block_counts)."""
-        ck = tuple(id(b) for (_, _, _, b) in jobs)
-        hit = self._pack_cache.get(ck)
-        if hit is not None and all(a is b for a, (_, _, _, b) in
-                                   zip(hit[0], jobs)):
-            return hit[1]
+    def _pack_combined(self, jobs, m_pad_of):
+        """Shared pack core: chunk all jobs' blocks, fill combined q*5+t
+        tiles (rows padded to m_pad_of(m) with 24 = N/N)."""
         parts = []
         c_blocks = []
         block_base = 0
@@ -208,7 +203,7 @@ class PairBlockScorer:
             c_blocks.append(c_block + block_base)
             block_base += blocks.shape[0]
         m = sum(p[2].shape[0] for p in parts)
-        m_pad = bucket_rows(m)
+        m_pad = m_pad_of(m)
         c8 = np.empty((m_pad, CHUNK), np.uint8)
         c8[m:] = 24
         row = 0
@@ -220,15 +215,32 @@ class PairBlockScorer:
             row += k
         c_block_all = np.concatenate(c_blocks) if c_blocks \
             else np.zeros(0, np.int64)
-        if self.tile_sharding is not None:
-            dev_c8 = jax.device_put(c8, self.tile_sharding)
-        else:
-            dev_c8 = jnp.asarray(c8)
-        packed = (dev_c8, c_block_all, m, block_base)
+        return c8, c_block_all, m, block_base
+
+    def _pack_cached(self, key, jobs, build):
+        hit = self._pack_cache.get(key)
+        if hit is not None and all(a is b for a, (_, _, _, b) in
+                                   zip(hit[0], jobs)):
+            return hit[1]
+        packed = build()
         if len(self._pack_cache) > 16:
             self._pack_cache.clear()
-        self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
+        self._pack_cache[key] = ([b for (_, _, _, b) in jobs], packed)
         return packed
+
+    def _pack_multi(self, jobs):
+        """(dev_c8, c_block_all, m, n_blocks): one full-size device array
+        (row count bucketed for bounded jit shapes)."""
+        def build():
+            c8, c_block_all, m, n_blocks = self._pack_combined(
+                jobs, bucket_rows)
+            if self.tile_sharding is not None:
+                dev_c8 = jax.device_put(c8, self.tile_sharding)
+            else:
+                dev_c8 = jnp.asarray(c8)
+            return (dev_c8, c_block_all, m, n_blocks)
+        return self._pack_cached(tuple(id(b) for (_, _, _, b) in jobs),
+                                 jobs, build)
 
     TILE_ROWS = 1 << 17  # fixed kernel shape: ONE compile ever, any size
 
@@ -236,42 +248,16 @@ class PairBlockScorer:
         """Like _pack_multi but returns fixed-shape device tiles
         (TILE_ROWS, CHUNK) - the kernel compiles once for every workload
         and process (remote compiles cost tens of seconds)."""
-        ck = ("tiles",) + tuple(id(b) for (_, _, _, b) in jobs)
-        hit = self._pack_cache.get(ck)
-        if hit is not None and all(a is b for a, (_, _, _, b) in
-                                   zip(hit[0], jobs)):
-            return hit[1]
-        parts = []
-        c_blocks = []
-        block_base = 0
-        for (tn, qn, strand, blocks) in jobs:
-            c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks)
-            parts.append((self.t_genome.codes(tn, "+"),
-                          self.q_genome.codes(qn, strand),
-                          c_toff, c_qoff, c_len))
-            c_blocks.append(c_block + block_base)
-            block_base += blocks.shape[0]
-        m = sum(p[2].shape[0] for p in parts)
         tile = self.TILE_ROWS
-        m_pad = ((m + tile - 1) // tile) * tile
-        c8 = np.empty((m_pad, CHUNK), np.uint8)
-        c8[m:] = 24
-        row = 0
-        for (tc, qc, c_toff, c_qoff, c_len) in parts:
-            k = c_toff.shape[0]
-            _fill_combined(np.ascontiguousarray(tc),
-                           np.ascontiguousarray(qc),
-                           c_toff, c_qoff, c_len, c8[row:row + k], k, CHUNK)
-            row += k
-        c_block_all = np.concatenate(c_blocks) if c_blocks \
-            else np.zeros(0, np.int64)
-        dev_tiles = [jnp.asarray(c8[i:i + tile])
-                     for i in range(0, m_pad, tile)]
-        packed = (dev_tiles, c_block_all, m, block_base)
-        if len(self._pack_cache) > 16:
-            self._pack_cache.clear()
-        self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
-        return packed
+
+        def build():
+            c8, c_block_all, m, n_blocks = self._pack_combined(
+                jobs, lambda mm: ((mm + tile - 1) // tile) * tile)
+            dev_tiles = [jnp.asarray(c8[i:i + tile])
+                         for i in range(0, c8.shape[0], tile)]
+            return (dev_tiles, c_block_all, m, n_blocks)
+        return self._pack_cached(
+            ("tiles",) + tuple(id(b) for (_, _, _, b) in jobs), jobs, build)
 
     def chunk_scores_multi(self, jobs):
         """Streamed tile scoring: fixed-shape kernel dispatches pipeline
@@ -285,14 +271,17 @@ class PairBlockScorer:
             c8, c_block, m, n_blocks = self._pack_multi_host(jobs)
             from ..native import get_lib
             lib = get_lib()
-            import ctypes
-            out = np.empty(m, np.int16)
-            lib.gat_chunk_scores_host(
-                c8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
-                CHUNK, self.lut25.ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int32)),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                min(os.cpu_count() or 1, 16))
+            if lib is not None:
+                import ctypes
+                out = np.empty(m, np.int16)
+                lib.gat_chunk_scores_host(
+                    c8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m,
+                    CHUNK, self.lut25.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    min(os.cpu_count() or 1, 16))
+            else:  # numpy fallback (no C++ toolchain)
+                out = self.lut25[c8[:m]].sum(axis=1).astype(np.int16)
             return out, c_block, n_blocks
         dev_tiles, c_block, m, n_blocks = self._pack_multi_tiles(jobs)
         parts = [_pair_scores_kernel(t, self.packed_lut) for t in dev_tiles]
@@ -301,37 +290,12 @@ class PairBlockScorer:
 
     def _pack_multi_host(self, jobs):
         """Host-side combined tiles (no device transfer), cached."""
-        ck = ("host",) + tuple(id(b) for (_, _, _, b) in jobs)
-        hit = self._pack_cache.get(ck)
-        if hit is not None and all(a is b for a, (_, _, _, b) in
-                                   zip(hit[0], jobs)):
-            return hit[1]
-        parts = []
-        c_blocks = []
-        block_base = 0
-        for (tn, qn, strand, blocks) in jobs:
-            c_toff, c_qoff, c_len, c_block = chunk_blocks(blocks)
-            parts.append((self.t_genome.codes(tn, "+"),
-                          self.q_genome.codes(qn, strand),
-                          c_toff, c_qoff, c_len))
-            c_blocks.append(c_block + block_base)
-            block_base += blocks.shape[0]
-        m = sum(p[2].shape[0] for p in parts)
-        c8 = np.empty((max(m, 1), CHUNK), np.uint8)
-        row = 0
-        for (tc, qc, c_toff, c_qoff, c_len) in parts:
-            k = c_toff.shape[0]
-            _fill_combined(np.ascontiguousarray(tc),
-                           np.ascontiguousarray(qc),
-                           c_toff, c_qoff, c_len, c8[row:row + k], k, CHUNK)
-            row += k
-        c_block_all = np.concatenate(c_blocks) if c_blocks \
-            else np.zeros(0, np.int64)
-        packed = (c8, c_block_all, m, block_base)
-        if len(self._pack_cache) > 16:
-            self._pack_cache.clear()
-        self._pack_cache[ck] = ([b for (_, _, _, b) in jobs], packed)
-        return packed
+        def build():
+            c8, c_block_all, m, n_blocks = self._pack_combined(
+                jobs, lambda mm: max(mm, 1))
+            return (c8, c_block_all, m, n_blocks)
+        return self._pack_cached(
+            ("host",) + tuple(id(b) for (_, _, _, b) in jobs), jobs, build)
 
     def block_scores_multi(self, jobs) -> np.ndarray:
         cs, c_block, n_blocks = self.chunk_scores_multi(jobs)

@@ -30,10 +30,7 @@ MP_MATCH, MP_UP, MP_LEFT, MP_MASK = 1, 2, 3, 3
 UP_EXT = 1 << 2
 LP_EXT = 1 << 3
 
-_CODE = np.full(256, 4, dtype=np.uint8)  # chars -> codes T=0 C=1 A=2 G=3
-for _i, _c in enumerate(b"TCAG"):
-    _CODE[_c] = _i
-    _CODE[_c + 32] = _i
+from ..device.genome import _CHAR_CODE as _CODE  # chars -> 2bit codes
 
 W = 512          # state lane width (>= band_plus = 2*mi+1 + 2*(mi+1))
 GUARD = 128      # dynamic-slice guard each side (requires max_insert < 127)

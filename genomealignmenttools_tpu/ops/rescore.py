@@ -286,7 +286,8 @@ class DeviceChainScorer:
             # tiny int16 fetch.
             combine = "device" if getattr(self, "_repeat_workload", False) \
                 else "host"
-        if isinstance(self._dev, PairBlockScorer) and combine == "device":
+        if isinstance(self._dev, PairBlockScorer) and combine == "device" \
+                and not getattr(self._dev, "host_native", False):
             from .pair_rescore import PairChainScorer
             pcs = getattr(self, "_pair_chain_scorer", None)
             if pcs is None:

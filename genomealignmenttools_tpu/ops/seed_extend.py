@@ -120,9 +120,19 @@ class GapAligner:
                               t_anchor: int, q_anchor: int, direction: int):
         """Turn band_ext symbol strings into gap-free blocks + affine
         score.  Coordinates grow from (t_anchor, q_anchor) in
-        `direction`; for direction=-1 the anchor is the block START."""
+        `direction`; for direction=-1 the anchor is the block START.
+
+        band_ext returns syms in genomic-ASCENDING order for both
+        directions (it reverses its output only for direction>0, having
+        run the DP on reversed input for direction<0) - so for the left
+        extension the anchor-adjacent symbol is LAST.  Flip to
+        anchor-adjacent-first so the offset arithmetic below is uniform.
+        """
         ta = np.frombuffer(t_sym, np.uint8)
         qa = np.frombuffer(q_sym, np.uint8)
+        if direction < 0:
+            ta = ta[::-1]
+            qa = qa[::-1]
         dash = ord("-")
         both = (ta != dash) & (qa != dash)
         score = int(self.char_matrix[ta[both], qa[both]].sum())

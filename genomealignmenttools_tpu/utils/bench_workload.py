@@ -127,10 +127,7 @@ def _plant(t_seq: np.ndarray, q_seq: np.ndarray, blocks: np.ndarray,
         q_seq[q_seq.shape[0] - 1 - idx_q] = _COMP_LUT[frag]
 
 
-_CHAR2CODE = np.full(256, 4, dtype=np.uint8)  # 2bit codes: T=0 C=1 A=2 G=3
-for _i, _c in enumerate(b"TCAG"):
-    _CHAR2CODE[_c] = _i
-    _CHAR2CODE[_c + 32] = _i
+from ..device.genome import _CHAR_CODE as _CHAR2CODE  # 2bit char codes
 
 
 def _enforce_tie_free(t_seq, q_seq, scenarios, chains, n_scenarios, rng):

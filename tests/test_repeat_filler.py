@@ -161,3 +161,44 @@ def test_gapped_stage_recovers_indel_homology(tmp_path):
     # without gapped extension most of the indel pieces are invisible
     assert got_ungapped <= 0.45 * planted, (got_ungapped, planted)
     assert got > 2 * got_ungapped
+
+
+def test_gapped_left_extension_coordinates(tmp_path):
+    """Regression: band_ext returns direction=-1 syms genomic-ascending
+    (anchor-adjacent LAST); the block mapper must not mirror left-extension
+    coordinates.  Anchor at (2000,2000), true left homology
+    t[1972:1997] ~ q[1975:2000] across a 3bp t-insertion."""
+    from genomealignmenttools_tpu.device.genome import Genome
+    from genomealignmenttools_tpu.formats.scorematrix import (
+        score_scheme_default)
+    from genomealignmenttools_tpu.formats.twobit import write_twobit
+    from genomealignmenttools_tpu.ops.seed_extend import GapAligner
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t = bases[rng.integers(0, 4, 4000)].copy()
+    q = bases[rng.integers(0, 4, 4000)].copy()
+    # anchor: exact 60bp at t[2000:2060] == q[2000:2060]
+    q[2000:2060] = t[2000:2060]
+    # left homology with a 3bp t-side insertion: q[1975:2000] == t[1972:1997]
+    q[1975:2000] = t[1972:1997]
+    sch = score_scheme_default()
+    t2 = str(tmp_path / "t.2bit")
+    q2 = str(tmp_path / "q.2bit")
+    write_twobit(t2, [("c", t.tobytes())])
+    write_twobit(q2, [("c", q.tobytes())])
+    tg, qg = Genome(t2), Genome(q2)
+    aligner = GapAligner(sch.lut, seed_len=10, hsp_threshold=1500,
+                         gapped_threshold=2000, gap_open=sch.gap_open,
+                         gap_extend=sch.gap_extend,
+                         char_matrix=sch.char_matrix())
+    blocks = aligner.align(tg.codes("c"), qg.codes("c"), 1500, 2500,
+                           1500, 2500)
+    # the left extension must land on the true homology, not its mirror
+    found = [b for b in blocks if b[0] < 2000 and b[4] > 0]
+    assert found, blocks
+    lut = np.asarray(sch.lut, np.int64)
+    tc, qc = tg.codes("c"), qg.codes("c")
+    for ts, te, qs, qe, _sc in found:
+        ident = float((tc[ts:te] == qc[qs:qe]).mean())
+        assert ident > 0.9, (ts, te, qs, qe, ident)
