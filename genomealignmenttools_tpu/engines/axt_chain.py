@@ -64,7 +64,7 @@ def _remove_exact_overlaps(rows: list) -> list:
 
 def chain_pair(sp: SeqPair, q_codes, t_codes, q_size, t_size,
                scheme: ScoreScheme, gap_calc: GapCalc,
-               min_score: float) -> list[Chain]:
+               min_score: float, details=None) -> list[Chain]:
     """chainPair: score, chain, clean up, rescore, filter."""
     lut = np.asarray(scheme.lut)
     rows = []
@@ -75,7 +75,8 @@ def chain_pair(sp: SeqPair, q_codes, t_codes, q_size, t_size,
     from .kd_chainer import chain_blocks_arrays
     chains = chain_blocks_arrays(sp.q_name, q_size, sp.q_strand,
                                  sp.t_name, t_size, rows,
-                                 q_codes, t_codes, lut, gap_calc)
+                                 q_codes, t_codes, lut, gap_calc,
+                                 details=details)
     kept = []
     for chain in chains:
         blk = [list(r[:4]) for r in chain._rows]
@@ -94,7 +95,8 @@ def chain_pair(sp: SeqPair, q_codes, t_codes, q_size, t_size,
 def axt_chain(in_path: str, t_seq_src: str, q_seq_src: str, out_path,
               linear_gap: str, score_scheme: str | None = None,
               min_score: int = 1000, is_psl: bool = False,
-              fa_t: bool = False, fa_q: bool = False) -> None:
+              fa_t: bool = False, fa_q: bool = False,
+              details_path: str | None = None) -> None:
     """Full axtChain run, byte-identical output.
 
     Sequence sources follow the reference's loading rules
@@ -158,6 +160,7 @@ def axt_chain(in_path: str, t_seq_src: str, q_seq_src: str, out_path,
                 seen.add(line)
                 out.write(line + "\n")
 
+        details = open(details_path, "w") if details_path else None
         all_chains: list[Chain] = []
         for sp in order:
             sp.rows = _remove_exact_overlaps(sp.rows)
@@ -166,7 +169,7 @@ def axt_chain(in_path: str, t_seq_src: str, q_seq_src: str, out_path,
             q_size = q_genome.seq(sp.q_name).size
             t_size = t_genome.seq(sp.t_name).size
             kept = chain_pair(sp, q_codes, t_codes, q_size, t_size,
-                              scheme, gap_calc, min_score)
+                              scheme, gap_calc, min_score, details=details)
             # slAddHead per chain onto the master list -> most recent pair
             # first, each pair's chains reversed; final sort is stable desc
             all_chains = kept[::-1] + all_chains
@@ -177,6 +180,8 @@ def axt_chain(in_path: str, t_seq_src: str, q_seq_src: str, out_path,
                 chain.id = next_id
                 next_id += 1
         write_chains(all_chains, out)
+        if details is not None:
+            details.close()
     finally:
         if close:
             out.close()
@@ -196,5 +201,6 @@ def axt_chain_main(argv: list[str]) -> int:
               score_scheme=opts.get("scoreScheme"),
               min_score=int(opts.get("minScore", 1000)),
               is_psl="psl" in opts,
-              fa_t="faT" in opts, fa_q="faQ" in opts)
+              fa_t="faT" in opts, fa_q="faQ" in opts,
+              details_path=opts.get("details"))
     return 0

@@ -111,7 +111,8 @@ def _update_scores_on_way(branch: _Branch, dim: int, leaf: _Leaf):
 
 def chain_blocks(q_name: str, q_size: int, q_strand: str,
                  t_name: str, t_size: int,
-                 blocks: list, connect_cost, gap_cost) -> list[Chain]:
+                 blocks: list, connect_cost, gap_cost,
+                 details=None) -> list[Chain]:
     """chainBlocks: chain scored blocks into maximal-scoring chains.
 
     blocks: list of [tS, tE, qS, qE, score] (score int, set by caller).
@@ -148,13 +149,29 @@ def chain_blocks(q_name: str, q_size: int, q_strand: str,
         for leaf in by_total:
             if leaf.hit:
                 continue
+            if details is not None:
+                # chainWriteHead at peel time: only the tip's ends are set
+                # (chainBlock.c:349-356), score = totalScore, id = -1
+                from ..formats.chain import format_score
+                details.write(
+                    f"chain {format_score(leaf.total_score)} {t_name} "
+                    f"{t_size} + 0 {leaf.cb[1]} {q_name} {q_size} "
+                    f"{q_strand} 0 {leaf.cb[3]} -1\n")
             rows = []
             lf = leaf
             while True:
                 lf.hit = True
                 rows.append(lf.cb)
+                if details is not None:
+                    b = lf.cb
+                    details.write(f"{int(b[4])}\t{lf.total_score:f}\t"
+                                  f"{b[0]}\t{b[2]}\t{b[3] - b[2]}\n")
                 if lf.best_pred is None:
                     break
+                if details is not None:
+                    a = lf.best_pred.leaf.cb
+                    b = lf.cb
+                    details.write(f" gap {b[0] - a[1]}\t{b[2] - a[3]}\n")
                 lf = lf.best_pred.leaf
                 if lf.hit:
                     break
@@ -187,13 +204,23 @@ def chain_blocks(q_name: str, q_size: int, q_strand: str,
 
 def chain_blocks_arrays(q_name: str, q_size: int, q_strand: str,
                         t_name: str, t_size: int, rows: list,
-                        q_codes, t_codes, lut, gap_calc) -> list[Chain]:
+                        q_codes, t_codes, lut, gap_calc,
+                        details=None) -> list[Chain]:
     """chain_blocks over the standard cost model (substitution LUT +
     gapCalc), dispatching to the native C++ DP (native/chainblocks.cpp)
     when available - ~100x the python path on whole-genome inputs, same
     bytes."""
     from ..native import get_lib
     lib = get_lib()
+    if details is not None and rows:
+        # debugging path: the native DP doesn't emit details
+        from .chain_connect import connect_cost as _cc, gap_cost as _gc
+        import numpy as np
+        lutx = np.asarray(lut)
+        return chain_blocks(
+            q_name, q_size, q_strand, t_name, t_size, rows,
+            lambda a, b: _cc(a, b, q_codes, t_codes, lutx, gap_calc),
+            lambda dq, dt: _gc(dq, dt, gap_calc), details=details)
     if lib is None or not rows:
         from .chain_connect import connect_cost as _cc, gap_cost as _gc
         import numpy as np

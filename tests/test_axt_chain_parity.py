@@ -135,3 +135,25 @@ def test_axt_chain_psl_nibdir_mode(case, tmp_path):
         is_psl=True)
     expected = open(os.path.join(ref, "expected", f"{case}.chain")).read()
     assert out.getvalue() == expected
+
+
+def test_axt_chain_details_mode(tmp_path):
+    """-details debug dump (chainBlock.c peelChains trace): byte-identical
+    to the reference binary's output (committed golden)."""
+    from genomealignmenttools_tpu.engines.axt_chain import axt_chain
+
+    ref = _ref_dir()
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "axtChain.details.txt")
+    if not os.path.exists(golden):
+        pytest.skip("details golden unavailable")
+    out = io.StringIO()
+    det = str(tmp_path / "details.txt")
+    axt_chain(
+        os.path.join(ref, "input", "newStyleLastz.psl"),
+        os.path.join(ref, "input", "hg19.chrM.2bit"),
+        os.path.join(ref, "input", "susScr3.chrM.2bit"),
+        out, linear_gap="loose", min_score=3000,
+        score_scheme=os.path.join(ref, "input", "newStyleLastz.Q.txt"),
+        is_psl=True, details_path=det)
+    assert open(det).read() == open(golden).read()
