@@ -454,7 +454,7 @@ def cmd_patch_chain(argv):
         gap_max_t=int(o.get("gapMaxSizeT", 100000)),
         gap_max_q=int(o.get("gapMaxSizeQ", 100000)),
         score_scheme=o.get("scoreScheme"),
-        seed_len=int(o.get("seedLen", 8)),
+        seed_len=int(o.get("seedLen", 5)),
         hsp_threshold=int(o.get("hspThreshold", 1500)),
         min_identity=float(o.get("minIdentity", 0)),
         min_entropy=float(o.get("minEntropy", 0)),

@@ -185,7 +185,7 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
                 gap_min_t: int = 10, gap_min_q: int = 10,
                 gap_max_t: int = 100000, gap_max_q: int = 100000,
                 score_scheme: str | None = None,
-                seed_len: int = 8, hsp_threshold: int = 1500,
+                seed_len: int = 5, hsp_threshold: int = 1500,
                 gapped_threshold: int = 2500,
                 min_identity: float = 0, min_entropy: float = 0,
                 window_size: int = 0,

@@ -187,7 +187,7 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
                   gap_min_t: int = 10, gap_min_q: int = 10,
                   gap_max_t: int = 100000, gap_max_q: int = 100000,
                   score_threshold: int = 2000,
-                  seed_len: int = 10, hsp_threshold: int = 1500,
+                  seed_len: int = 6, hsp_threshold: int = 1500,
                   gapped_threshold: int = 2000,
                   ref_quirks: bool = False,
                   chain_ids: set[int] | None = None,
@@ -284,7 +284,7 @@ def repeat_filler_main(argv: list[str]) -> int:
     p.add_argument("--gapMaxSizeT", type=int, default=100000)
     p.add_argument("--gapMaxSizeQ", type=int, default=100000)
     p.add_argument("--scoreThreshold", type=int, default=2000)
-    p.add_argument("--seedLen", type=int, default=10)
+    p.add_argument("--seedLen", type=int, default=6)
     p.add_argument("--hspThreshold", type=int, default=1500)
     p.add_argument("--refQuirks", action="store_true",
                    help="replicate the reference's exact (malformed) splice text")

@@ -6,16 +6,19 @@ Behavioral reference: the role lastz plays in src/RepeatFiller.py:445-468
 size) - not a lastz port.  Design:
 
 - exact k-mer seeds over the two regions (soft-mask ignored, like lastz's
-  [unmask]; N-containing words excluded)
-- per *diagonal*, the full diagonal substitution-score vector is scanned
-  for maximal-scoring segments (clamped-prefix-sum decomposition), giving
-  gap-free HSPs - equivalent to greedy x-drop extension of every seed on
-  the diagonal at once, and fully vectorized
-- HSPs above the threshold feed the kd-tree chainer (engines/kd_chainer),
-  which plays lastz's gapped/chaining stage
-
-Host numpy implementation; the per-diagonal scan maps 1:1 onto the device
-local-score kernel for future batching.
+  [unmask]; N-containing words excluded); word sizes match the
+  reference's lastz invocations (W=6 RepeatFiller.py:163-169, W=5
+  patchChain.perl:23)
+- per *diagonal*, seed positions are merged into scan windows extended
+  by hsp_margin (the x-drop horizon); each window's substitution-score
+  vector is scanned for maximal-scoring segments (clamped-prefix-sum
+  decomposition) - equivalent to greedy x-drop extension of every seed
+  on the diagonal at once, and fully vectorized: a grouped single-pass
+  Kadane over all windows prefilters, the exact recursive extraction
+  runs only on windows reaching K
+- gap-free HSPs >= K are indel-joined by the gapped stage (banded
+  affine DP, threshold L), then feed the kd-tree chainer
+  (engines/kd_chainer) which plays lastz's chaining stage
 """
 
 from __future__ import annotations
@@ -98,7 +101,8 @@ class GapAligner:
 
     def __init__(self, lut: np.ndarray, seed_len: int = 10,
                  hsp_threshold: int = 1500, max_region: int = 1_000_000,
-                 max_seeds: int = 2_000_000,
+                 max_seeds: int = 32_000_000,
+                 hsp_margin: int = 1_000,
                  gapped_threshold: int | None = None,
                  gap_open: int = 400, gap_extend: int = 30,
                  char_matrix: np.ndarray | None = None,
@@ -108,6 +112,7 @@ class GapAligner:
         self.hsp_threshold = hsp_threshold
         self.max_region = max_region
         self.max_seeds = max_seeds
+        self.hsp_margin = hsp_margin
         self.gapped_threshold = gapped_threshold
         self.gap_open = gap_open
         self.gap_extend = gap_extend
@@ -237,6 +242,131 @@ class GapAligner:
         out.sort(key=lambda b: (b[2], b[0]))
         return out
 
+    def _seed_pairs(self, t_region: np.ndarray, q_region: np.ndarray,
+                    k: int) -> tuple[np.ndarray, np.ndarray] | None:
+        """All exact k-mer matches as (t_pos, q_pos) arrays (region
+        coords), or None when either side has no valid word."""
+        t_kmers = kmer_codes(t_region, k)
+        q_kmers = kmer_codes(q_region, k)
+        if t_kmers.size == 0 or q_kmers.size == 0:
+            return None
+        order = np.argsort(t_kmers, kind="stable")
+        t_sorted = t_kmers[order]
+        lo_idx = np.searchsorted(t_sorted, q_kmers, side="left")
+        hi_idx = np.searchsorted(t_sorted, q_kmers, side="right")
+        counts = np.where(q_kmers >= 0, hi_idx - lo_idx, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if total > self.max_seeds:
+            return None  # caller retries with a longer word
+        q_pos = np.repeat(np.arange(q_kmers.shape[0]), counts)
+        # ragged gather of order[lo:hi] per q position, fully vectorized
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        intra = np.arange(total, dtype=np.int64) - cum[q_pos]
+        t_pos = order[lo_idx[q_pos] + intra]
+        return t_pos, q_pos
+
+    def _seed_windows(self, t_region: np.ndarray, q_region: np.ndarray):
+        """Per-diagonal scan windows anchored on exact-word seeds.
+
+        Seeds on the same diagonal closer than 2*hsp_margin are merged
+        into one window extended by hsp_margin on both sides (lastz's
+        ungapped stage x-drop-extends each seed, so a K-scoring segment
+        farther than the x-drop horizon from every seed word is
+        invisible to lastz at the same W too; hsp_margin=1000 is ~the
+        default lastz x-drop of 10*maxMatchScore).  Returns
+        (diag, w0, w1) int64 arrays, windows clipped to the diagonal's
+        overlap with both regions.
+
+        When the word yields more than max_seeds matches the word length
+        is raised by 2 (up to 3 times) - graceful specificity fallback
+        instead of the round-1 give-up-on-the-region cliff."""
+        k = self.seed_len
+        for attempt in range(4):
+            got = self._seed_pairs(t_region, q_region, k)
+            if got is not None:
+                break
+            k += 2
+        else:
+            return (np.zeros(0, np.int64),) * 3
+        t_pos, q_pos = got
+        if t_pos.size == 0:
+            return (np.zeros(0, np.int64),) * 3
+        diags = t_pos - q_pos
+        o = np.lexsort((t_pos, diags))
+        d_s, t_s = diags[o], t_pos[o]
+        margin = self.hsp_margin
+        gap_limit = k + 2 * margin
+        new_w = np.ones(t_s.shape[0], bool)
+        new_w[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] - t_s[:-1] > gap_limit)
+        starts = np.flatnonzero(new_w)
+        ends = np.concatenate([starts[1:], [t_s.shape[0]]])
+        diag_w = d_s[starts]
+        w0 = t_s[starts] - margin
+        w1 = t_s[ends - 1] + k + margin
+        # clip to the diagonal's overlap with both regions
+        tn, qn = t_region.shape[0], q_region.shape[0]
+        t0d = np.maximum(diag_w, 0)
+        t1d = t0d + np.minimum(tn - t0d, qn - (t0d - diag_w))
+        w0 = np.maximum(w0, t0d)
+        w1 = np.minimum(w1, t1d)
+        keep = w1 - w0 >= k
+        return diag_w[keep], w0[keep], w1[keep]
+
+    # windows whose cells exceed this are Kadane-prefiltered in batches
+    # before the exact (recursive) segment extraction runs
+    _SCAN_BATCH = 8_000_000
+
+    def _scan_windows(self, t_region: np.ndarray, q_region: np.ndarray,
+                      diag_w, w0, w1, t_lo: int, q_lo: int) -> list:
+        """Exact maximal-segment extraction over the given windows.
+
+        A vectorized single-pass Kadane over all windows first computes
+        each window's best segment score; the exact recursive
+        _max_segments (byte-parity semantics) then runs only on windows
+        whose best reaches the K threshold."""
+        lut = self.lut
+        blocks = []
+        lens = (w1 - w0).astype(np.int64)
+        order = np.argsort(lens, kind="stable")  # batch similar lengths
+        csum = np.cumsum(lens[order])
+        batch_edges = np.searchsorted(
+            csum, np.arange(self._SCAN_BATCH, int(csum[-1]) if csum.size
+                            else 0, self._SCAN_BATCH))
+        batches = np.split(order, batch_edges)
+        for batch in batches:
+            if batch.size == 0:
+                continue
+            bl = lens[batch]
+            n_cells = int(bl.sum())
+            wid = np.repeat(np.arange(batch.shape[0]), bl)
+            offs = np.concatenate([[0], np.cumsum(bl)])
+            pos = np.arange(n_cells, dtype=np.int64) - offs[wid]
+            t_idx = w0[batch][wid] + pos
+            q_idx = t_idx - diag_w[batch][wid]
+            scores = lut[q_region[q_idx], t_region[t_idx]]
+            # grouped Kadane: best segment score per window in one pass
+            c = np.cumsum(scores)
+            base = np.concatenate([[0], c[offs[1:-1] - 1]])
+            cw = c - base[wid]                      # window-local prefixes
+            big = np.int64(1) << 50
+            g = np.minimum.accumulate(cw - wid * big) + wid * big
+            runmin = np.minimum(0, np.where(pos > 0,
+                                            np.concatenate([[0], g[:-1]]),
+                                            0))
+            best = np.zeros(batch.shape[0], np.int64)
+            np.maximum.at(best, wid, cw - runmin)
+            for j in np.flatnonzero(best >= self.hsp_threshold):
+                a, b = int(w0[batch[j]]), int(w1[batch[j]])
+                d = int(diag_w[batch[j]])
+                seg_scores = scores[offs[j]:offs[j + 1]]
+                for s, e, sc in _max_segments(seg_scores,
+                                              self.hsp_threshold):
+                    blocks.append([t_lo + a + s, t_lo + a + e,
+                                   q_lo + a - d + s, q_lo + a - d + e, sc])
+        return blocks
+
     def align(self, t_codes: np.ndarray, q_codes: np.ndarray,
               t_lo: int, t_hi: int, q_lo: int, q_hi: int) -> list:
         """HSP block rows [tS, tE, qS, qE, score] (absolute coordinates in
@@ -245,47 +375,9 @@ class GapAligner:
             return []
         t_region = t_codes[t_lo:t_hi]
         q_region = q_codes[q_lo:q_hi]
-        k = self.seed_len
-        t_kmers = kmer_codes(t_region, k)
-        q_kmers = kmer_codes(q_region, k)
-        if t_kmers.size == 0 or q_kmers.size == 0:
-            return []
-
-        order = np.argsort(t_kmers, kind="stable")
-        t_sorted = t_kmers[order]
-        lo_idx = np.searchsorted(t_sorted, q_kmers, side="left")
-        hi_idx = np.searchsorted(t_sorted, q_kmers, side="right")
-        counts = hi_idx - lo_idx
-        valid = (q_kmers >= 0) & (counts > 0)
-        counts = np.where(valid, counts, 0)
-        total = int(counts.sum())
-        if total == 0 or total > self.max_seeds:
-            return []
-        q_pos = np.repeat(np.arange(q_kmers.shape[0]), counts)
-        flat = np.concatenate(
-            [order[lo_idx[i]:hi_idx[i]] for i in np.flatnonzero(counts)]) \
-            if total else np.zeros(0, np.int64)
-        t_pos = flat
-
-        # unique diagonals (t - q per region coords)
-        diags = np.unique(t_pos - q_pos)
-        lut = self.lut
-        blocks = []
-        tn, qn = t_region.shape[0], q_region.shape[0]
-        for d in diags:
-            d = int(d)
-            # overlap of the diagonal with both regions
-            t0 = max(0, d)
-            q0 = t0 - d
-            length = min(tn - t0, qn - q0)
-            if length < k:
-                continue
-            ts = t_region[t0:t0 + length].astype(np.int64)
-            qs = q_region[q0:q0 + length].astype(np.int64)
-            scores = lut[qs, ts]
-            for s, e, sc in _max_segments(scores, self.hsp_threshold):
-                blocks.append([t_lo + t0 + s, t_lo + t0 + e,
-                               q_lo + q0 + s, q_lo + q0 + e, sc])
+        diag_w, w0, w1 = self._seed_windows(t_region, q_region)
+        blocks = self._scan_windows(t_region, q_region, diag_w, w0, w1,
+                                    t_lo, q_lo)
         if self.gapped_threshold is not None:
             return self._gapped(blocks, t_region, q_region, t_lo, q_lo)
         blocks.sort(key=lambda b: (b[2], b[0]))

@@ -38,11 +38,17 @@ def main():
     args = sys.argv[1:]
     strand = "plus"
     ranges = []
+    # mirror the K/L/W lastz parameters from the command line so the
+    # stand-in stays in lockstep with whatever RepeatFiller/patchChain
+    # pass (RepeatFiller.py:163-169 `K=1500 L=2000 ... W=6`)
+    params = {"K": 1500, "L": 2000, "W": 6}
     for a in args:
         if a.startswith("--strand="):
             strand = a.split("=", 1)[1]
         elif "[" in a and ".." in a:
             ranges.append(a)
+        elif re.match(r"^[KLW]=\d+$", a):
+            params[a[0]] = int(a.split("=")[1])
     t_path, t_name, t_lo, t_hi = parse_range(ranges[0])
     q_path, q_name, q_plus_lo, q_plus_hi = parse_range(ranges[1])
 
@@ -57,10 +63,14 @@ def main():
     else:
         q_lo, q_hi = q_plus_lo, q_plus_hi
 
-    seed_len = int(os.environ.get("FAKE_LASTZ_SEED", "10"))
-    hsp = int(os.environ.get("FAKE_LASTZ_HSP", "1500"))
-    aligner = GapAligner(score_scheme_default().lut, seed_len=seed_len,
-                         hsp_threshold=hsp)
+    seed_len = int(os.environ.get("FAKE_LASTZ_SEED", str(params["W"])))
+    hsp = int(os.environ.get("FAKE_LASTZ_HSP", str(params["K"])))
+    gapped = int(os.environ.get("FAKE_LASTZ_L", str(params["L"])))
+    scheme = score_scheme_default()
+    aligner = GapAligner(scheme.lut, seed_len=seed_len, hsp_threshold=hsp,
+                         gapped_threshold=gapped, gap_open=scheme.gap_open,
+                         gap_extend=scheme.gap_extend,
+                         char_matrix=scheme.char_matrix())
     hsps = aligner.align(t_codes, q_codes, t_lo, t_hi, q_lo, q_hi)
 
     out = sys.stdout

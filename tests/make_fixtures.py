@@ -880,6 +880,32 @@ def make_meta_goldens():
     print("meta-passthrough goldens written")
 
 
+def make_repeatfiller_golden():
+    """Regenerate repeatfiller_reference_output.chain by running the
+    *reference* RepeatFiller.py (src/RepeatFiller.py) with
+    tests/fake_lastz.py standing in for lastz (it runs this repo's
+    GapAligner with the K/L/W parameters parsed from the lastz command
+    the reference builds) and the locally-built kent axtChain/chainSort
+    binaries - so the golden exercises the reference's gap walk, shell
+    protocol and splice arithmetic end to end."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    fake = os.path.join(here, "fake_lastz.py")
+    ref_rf = "/root/reference/src/RepeatFiller.py"
+    out = os.path.join(GOLD, "repeatfiller_reference_output.chain")
+    # NB: -o (not stdout) - the reference's stdout path print()s each
+    # already-newline-terminated line, doubling every newline
+    # (RepeatFiller.py:798-801); the -o path is the one tools consume
+    run([sys.executable, ref_rf,
+         "-c", os.path.join(FIX, "repeatfiller_input.chain"),
+         "-T2", os.path.join(FIX, "target.2bit"),
+         "-Q2", os.path.join(FIX, "query.2bit"),
+         "--lastz", fake,
+         "--axtChain", os.path.join(KENT_BIN, "axtChain"),
+         "--chainSort", os.path.join(KENT_BIN, "chainSort"),
+         "-o", out])
+
+
 if __name__ == "__main__":
     main()
     make_meta_goldens()
+    make_repeatfiller_golden()
