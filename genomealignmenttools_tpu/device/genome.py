@@ -23,12 +23,13 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     """Reverse complement a code array (0..4); native threaded pass when
     available, single LUT gather otherwise."""
     from ..native import get_lib
+    from ..utils.bigmem import big_empty
     lib = get_lib()
     if lib is not None and hasattr(lib, "gat_revcomp_codes"):
         import ctypes
         import os
         src = np.ascontiguousarray(codes)
-        out = np.empty_like(src)
+        out = big_empty(src.shape[0], src.dtype)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.gat_revcomp_codes(src.ctypes.data_as(u8p), src.shape[0],
                               out.ctypes.data_as(u8p),

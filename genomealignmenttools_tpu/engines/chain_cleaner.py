@@ -819,18 +819,11 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     gap_calc = gap_calc_from_file(linear_gap)
     t_genome, q_genome = open_genome(t_2bit), open_genome(q_2bit)
     if scorer_factory is None:
-        # device-batched scorer on accelerator backends (bit-identical to
-        # the host path; all pending break sub-chains are scored in one
-        # device round trip), plain host scorer on CPU - same auto-select
-        # as score_chain.py
-        import jax
-        try:
-            backend = jax.default_backend()
-        except RuntimeError:
-            backend = "cpu"
-        if backend != "cpu":
-            from ..ops.rescore import DeviceChainScorer
-            scorer_factory = DeviceChainScorer
+        # device-batched scorer on accelerator backends (all pending break
+        # sub-chains are scored in one device round trip), all-native host
+        # backend on CPU - same auto-select as score_chain.py
+        from ..ops.rescore import auto_scorer_factory
+        scorer_factory = auto_scorer_factory()
     factory = scorer_factory or ChainScorer
     scorer = factory(scheme, gap_calc, t_genome, q_genome)
     host_scorer = (scorer if factory is ChainScorer

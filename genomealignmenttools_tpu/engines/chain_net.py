@@ -404,7 +404,8 @@ class NativeNetTree:
 
     def __init__(self, chains, t_names, t_sizes, q_names, q_sizes,
                  nodes_t, segs_t, nodes_q, segs_q,
-                 min_space, min_fill, min_score):
+                 min_space, min_fill, min_score,
+                 blocks=None, block_off=None):
         self.chains = chains
         self.t_names, self.t_sizes = t_names, t_sizes
         self.q_names, self.q_sizes = q_names, q_sizes
@@ -413,6 +414,10 @@ class NativeNetTree:
         self.min_space = min_space
         self.min_fill = min_space // 2 if min_fill is None else min_fill
         self.min_score = min_score
+        # concatenated chain blocks from the sweep, reused by the writer
+        self._blocks = blocks
+        self._block_off = block_off
+        self._headers = None
 
     def _side(self, is_q):
         return ((self.nodes_q, self.segs_q, self.q_names, self.q_sizes)
@@ -420,13 +425,121 @@ class NativeNetTree:
                 (self.nodes_t, self.segs_t, self.t_names, self.t_sizes))
 
     def iter_fills(self, is_q: bool):
-        nodes, _, _, _ = self._side(is_q)
-        for row in nodes:
-            if row[0] == 0:
-                yield _FillView(self.chains[int(row[6])], int(row[2]),
-                                int(row[3]))
+        for _i, view in self.iter_fills_idx(is_q):
+            yield view
 
-    def output_side(self, out, is_q: bool, rescorer=None) -> None:
+    def iter_fills_idx(self, is_q: bool):
+        """(node_index, _FillView) pairs - node_index keys the
+        score_override array of output_side."""
+        nodes, _, _, _ = self._side(is_q)
+        fill_rows = np.flatnonzero(nodes[:, 0] == 0)
+        chains = self.chains
+        for i in fill_rows:
+            row = nodes[i]
+            yield int(i), _FillView(chains[int(row[6])], int(row[2]),
+                                    int(row[3]))
+
+    def _chain_arrays(self):
+        """(blocks, block_off, headers, strands, ids, scores) cached."""
+        if self._headers is None:
+            chains = self.chains
+            n = len(chains)
+            if self._blocks is None:
+                block_off = np.zeros(n + 1, np.int64)
+                for i, c in enumerate(chains):
+                    block_off[i + 1] = block_off[i] + c.n_blocks
+                from ..utils.bigmem import big_empty
+                blocks = big_empty((int(block_off[-1]), 4), np.int64)
+                for i, c in enumerate(chains):
+                    np.copyto(blocks[block_off[i]:block_off[i + 1]],
+                              c.blocks)
+                self._blocks, self._block_off = blocks, block_off
+            headers = np.empty((n, 5), np.int64)
+            strands = np.empty(n, np.uint8)
+            ids = np.empty(n, np.int64)
+            scores = np.empty(n, np.float64)
+            for i, c in enumerate(chains):
+                headers[i] = (c.t_start, c.t_end, c.q_start, c.q_end,
+                              c.q_size)
+                strands[i] = ord(c.q_strand)
+                ids[i] = c.id
+                scores[i] = c.score
+            self._headers = (headers, strands, ids, scores)
+        return (self._blocks, self._block_off) + self._headers
+
+    def _native_write(self, lib, is_q: bool, score_override) -> memoryview:
+        """Serialize one side via gat_net_write (native/netwrite.cpp)."""
+        import ctypes
+        nodes_arr, segs, names, sizes = self._side(is_q)
+        blocks, block_off, headers, strands, ids, scores = \
+            self._chain_arrays()
+        chains = self.chains
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+
+        def blob_of(strs):
+            off = np.zeros(len(strs) + 1, np.int64)
+            parts = []
+            for i, s in enumerate(strs):
+                b = s.encode()
+                parts.append(b)
+                off[i + 1] = off[i] + len(b)
+            return b"".join(parts), off
+
+        chrom_blob, chrom_off = blob_of(names)
+        attr = "_onames_q" if is_q else "_onames_t"
+        cached = getattr(self, attr, None)
+        if cached is None:
+            cached = blob_of([c.t_name if is_q else c.q_name
+                              for c in chains])
+            setattr(self, attr, cached)
+        oname_blob, oname_off = cached
+        sizes_arr = np.asarray(sizes, np.int64)
+        nodes_c = np.ascontiguousarray(nodes_arr, np.int64)
+        segs_c = np.ascontiguousarray(segs, np.int64)
+        if score_override is not None:
+            ov = np.ascontiguousarray(score_override, np.float64)
+            ov_p = ov.ctypes.data_as(f64p)
+        else:
+            ov_p = ctypes.cast(None, f64p)
+        out_len = ctypes.c_int64()
+        p = lib.gat_net_write(
+            nodes_c.ctypes.data_as(i64p), nodes_c.shape[0],
+            segs_c.ctypes.data_as(i64p), segs_c.shape[0],
+            chrom_blob, chrom_off.ctypes.data_as(i64p),
+            sizes_arr.ctypes.data_as(i64p),
+            oname_blob, oname_off.ctypes.data_as(i64p),
+            strands.ctypes.data_as(u8p), ids.ctypes.data_as(i64p),
+            scores.ctypes.data_as(f64p),
+            headers.ctypes.data_as(i64p),
+            blocks.ctypes.data_as(i64p), block_off.ctypes.data_as(i64p),
+            len(chains),
+            ov_p,
+            float(self.min_score), int(self.min_fill), int(is_q),
+            ctypes.byref(out_len))
+        try:
+            from ..utils.bigmem import big_empty
+            out = big_empty(out_len.value, np.uint8)
+            ctypes.memmove(out.ctypes.data, p, out_len.value)
+            return memoryview(out).cast("B")
+        finally:
+            lib.gat_free_buffer(p)
+
+    def output_side(self, out, is_q: bool, rescorer=None,
+                    score_override=None) -> None:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "gat_net_write") and \
+                (rescorer is None or score_override is not None):
+            mv = self._native_write(lib, is_q, score_override)
+            buf = getattr(out, "buffer", None)
+            if buf is not None:  # text wrapper over a binary stream
+                out.flush()
+                buf.write(mv)
+            else:
+                out.write(bytes(mv).decode())
+            return
         nodes_arr, segs, names, sizes = self._side(is_q)
         nodes = nodes_arr.tolist()  # plain ints: ~5x faster walk
         chains = self.chains
@@ -544,7 +657,8 @@ def _native_net_tree(chains, t_sizes: dict, q_sizes: dict, min_space: int,
     return NativeNetTree(added, t_names, [t_sizes[nm] for nm in t_names],
                          q_names, [q_sizes[nm] for nm in q_names],
                          nodes_t, segs_t, nodes_q, segs_q,
-                         min_space, min_fill, min_score)
+                         min_space, min_fill, min_score,
+                         blocks=blocks, block_off=block_off)
 
 
 def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
@@ -571,14 +685,8 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
                   else score_scheme_default())
         gap_calc = gap_calc_from_file(linear_gap)
         if scorer_factory is None:
-            import jax
-            try:
-                backend = jax.default_backend()
-            except RuntimeError:
-                backend = "cpu"
-            if backend != "cpu":
-                from ..ops.rescore import DeviceChainScorer
-                scorer_factory = DeviceChainScorer
+            from ..ops.rescore import auto_scorer_factory
+            scorer_factory = auto_scorer_factory()
         factory = scorer_factory or ChainScorer
         scorer = factory(scheme, gap_calc, open_genome(t_2bit),
                          open_genome(q_2bit))
@@ -636,6 +744,7 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
     else:
         netter = build_netter(kept)
         q_netter = netter
+    t_override = None
     if rescorer is not None and hasattr(scorer, "score_chains"):
         # exact sub-net rescoring, fully batched: every fill's target-side
         # sub-chain is cut on host and the whole set is scored in one
@@ -643,7 +752,11 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
         # per-fill sequential in the reference)
         jobs: list[Chain] = []
         keys: list[tuple[int, int, int]] = []
-        for fill in netter.iter_fills(is_q=False):
+        idxs: list[int] = []
+        native_tree = isinstance(netter, NativeNetTree)
+        fill_iter = (netter.iter_fills_idx(is_q=False) if native_tree
+                     else ((None, f) for f in netter.iter_fills(is_q=False)))
+        for idx, fill in fill_iter:
             chain = fill.chain
             if fill.start <= chain.t_start and fill.end >= chain.t_end:
                 continue  # full cover: chain.score is used directly
@@ -652,7 +765,13 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
                 continue
             jobs.append(sub)
             keys.append((chain, fill.start, fill.end))
+            idxs.append(idx)
         scored = scorer.score_chains(jobs)
+        if native_tree:
+            # node-indexed score overrides feed the native writer directly
+            t_override = np.full(netter.nodes_t.shape[0], np.nan)
+            for idx, s_ in zip(idxs, scored):
+                t_override[idx] = s_[0]
         # key on (id, start, end) but pin the chain object in the value so
         # a GC'd chain can never alias a reused id()
         by_key = {(id(c), s, e): (c, s_[0])
@@ -664,7 +783,11 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
             if hit is not None and hit[0] is chain:
                 return hit[1]
             return scorer.global_score(chain.subset_on_t(start, end))
-    netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
+    if isinstance(netter, NativeNetTree):
+        netter.output_side(t_net_out, is_q=False, rescorer=rescorer,
+                           score_override=t_override)
+    else:
+        netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
     if q_net_out is not None:
         q_netter.output_side(q_net_out, is_q=True, rescorer=None)
 

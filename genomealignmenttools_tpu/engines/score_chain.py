@@ -46,17 +46,10 @@ def score_chain_file(
     t_genome = open_genome(t_2bit)
     q_genome = open_genome(q_2bit)
     if scorer_factory is None:
-        # device-batched scorer on accelerator backends (bit-identical to
-        # the host path; scores the whole file in one device round trip),
-        # plain host scorer on CPU
-        import jax
-        try:
-            backend = jax.default_backend()
-        except RuntimeError:
-            backend = "cpu"  # backend init failed; host scorer still works
-        if backend != "cpu":
-            from ..ops.rescore import DeviceChainScorer
-            scorer_factory = DeviceChainScorer
+        # device-batched scorer on accelerators, all-native host backend
+        # on CPU - bit-identical either way (ops/rescore.py)
+        from ..ops.rescore import auto_scorer_factory
+        scorer_factory = auto_scorer_factory()
     factory = scorer_factory or ChainScorer
     scorer = factory(scheme, gap_calc, t_genome, q_genome)
 

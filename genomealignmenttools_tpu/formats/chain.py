@@ -433,7 +433,7 @@ def write_chains(chains, path_or_file) -> None:
         chains = list(chains)
         blob = chain_io.serialize_chains(chains)
         if blob is not None:
-            path_or_file.write(blob.decode())
+            path_or_file.write(bytes(blob).decode())
             return
         for c in chains:
             path_or_file.write(c.to_text())

@@ -52,11 +52,12 @@ class TwoBitSeq:
         if end is None:
             end = self.size
         from ..native import get_lib
+        from ..utils.bigmem import big_empty
         lib = get_lib()
         if lib is not None:
             import ctypes
             import os
-            out = np.empty(end - start, np.uint8)
+            out = big_empty(end - start, np.uint8)
             nb = np.ascontiguousarray(self.n_blocks, np.int64)
             packed = np.ascontiguousarray(self.packed)
             u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -18,6 +18,7 @@ _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "twobitdec.cpp"),
          os.path.join(_DIR, "chainblocks.cpp"),
          os.path.join(_DIR, "netsweep.cpp"),
+         os.path.join(_DIR, "netwrite.cpp"),
          os.path.join(_DIR, "netscan.cpp")]
 
 _lib = None
@@ -100,6 +101,13 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int,
     ]
+    lib.gat_block_scores_direct.restype = None
+    lib.gat_block_scores_direct.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+    ]
     lib.gat_segment_sum.restype = None
     lib.gat_segment_sum.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
@@ -107,7 +115,7 @@ def get_lib():
     ]
     lib.gat_combine_scores.restype = None
     lib.gat_combine_scores.argtypes = [
-        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
@@ -187,6 +195,22 @@ def get_lib():
     lib.gat_net_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.gat_net_scan_free.argtypes = [ctypes.POINTER(GatNetScan)]
 
+    lib.gat_net_write.restype = ctypes.POINTER(ctypes.c_char)
+    lib.gat_net_write.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.gat_expand_blocks.restype = None
     lib.gat_expand_blocks.argtypes = [
         ctypes.c_int64, ctypes.c_int64,

@@ -28,6 +28,7 @@ def parse_chain_text(data: bytes) -> "list[Chain] | None":
         n = arr.n_chains
         if n == 0:
             return []
+        from ..utils.bigmem import big_copy
         scores = np.ctypeslib.as_array(arr.scores, shape=(n,)).copy()
         header = np.ctypeslib.as_array(arr.header_nums, shape=(n, 7)).copy()
         strands = np.ctypeslib.as_array(arr.q_strands, shape=(n,)).copy()
@@ -36,8 +37,8 @@ def parse_chain_text(data: bytes) -> "list[Chain] | None":
         blob = ctypes.string_at(arr.name_blob, int(name_offsets[-1]))
         block_offsets = np.ctypeslib.as_array(arr.block_offsets,
                                               shape=(n + 1,)).copy()
-        blocks = np.ctypeslib.as_array(arr.blocks,
-                                       shape=(arr.n_blocks, 4)).copy()
+        blocks = big_copy(np.ctypeslib.as_array(arr.blocks,
+                                                shape=(arr.n_blocks, 4)))
     finally:
         lib.gat_chain_free(arr_p)
 
@@ -84,9 +85,14 @@ def serialize_chains(chains: list[Chain]) -> "bytes | None":
     block_offsets = np.zeros(n + 1, np.int64)
     for i, c in enumerate(chains):
         block_offsets[i + 1] = block_offsets[i] + c.n_blocks
-    blocks = (np.concatenate([np.ascontiguousarray(c.blocks, dtype=np.int64)
-                              for c in chains])
-              if n else np.zeros((0, 4), np.int64))
+    from ..utils.bigmem import big_empty
+    if n:
+        blocks = big_empty((int(block_offsets[-1]), 4), np.int64)
+        for i, c in enumerate(chains):
+            np.copyto(blocks[block_offsets[i]:block_offsets[i + 1]],
+                      c.blocks)
+    else:
+        blocks = np.zeros((0, 4), np.int64)
 
     out_len = ctypes.c_int64()
     p = lib.gat_chain_serialize(
@@ -100,6 +106,10 @@ def serialize_chains(chains: list[Chain]) -> "bytes | None":
         blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.byref(out_len))
     try:
-        return ctypes.string_at(p, out_len.value)
+        # copy into shared-mmap pages and hand back a memoryview: a bytes
+        # object would pay the slow private-anon first touch twice
+        out = big_empty(out_len.value, np.uint8)
+        ctypes.memmove(out.ctypes.data, p, out_len.value)
+        return memoryview(out).cast("B")
     finally:
         lib.gat_free_buffer(p)

@@ -126,6 +126,50 @@ void gat_segment_sum(const int32_t* chunk_scores, const int64_t* c_block,
         out[c_block[i]] += chunk_scores[i];
 }
 
+// Fused pack+score for the all-host backend: per-block LUT sums read
+// directly from the genome code arrays - no intermediate tiles at all.
+// This is kent chainScoreBlock's inner loop (chainConnect.c:14-22) run
+// over every block, threaded over aligned-base-balanced block ranges.
+// blocks: (n,4) int64 rows [tStart, tEnd, qStart, qEnd]; out: int64[n].
+void gat_block_scores_direct(const uint8_t* t_codes, const uint8_t* q_codes,
+                             const int64_t* blocks, int64_t n_blocks,
+                             const int32_t* lut25, int64_t* out,
+                             int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t* b = blocks + i * 4;
+            const uint8_t* tp = t_codes + b[0];
+            const uint8_t* qp = q_codes + b[2];
+            const int64_t len = b[1] - b[0];
+            int64_t acc = 0;
+            for (int64_t j = 0; j < len; ++j)
+                acc += lut25[qp[j] * 5 + tp[j]];
+            out[i] = acc;
+        }
+    };
+    if (n_threads == 1 || n_blocks < 1024) {
+        worker(0, n_blocks);
+        return;
+    }
+    // balance by aligned bases, not block count
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_blocks; ++i)
+        total += blocks[i * 4 + 1] - blocks[i * 4];
+    std::vector<std::thread> threads;
+    int64_t per = (total + n_threads - 1) / n_threads;
+    int64_t lo = 0, acc = 0, target = per;
+    for (int64_t i = 0; i < n_blocks && lo < n_blocks; ++i) {
+        acc += blocks[i * 4 + 1] - blocks[i * 4];
+        if (acc >= target || i == n_blocks - 1) {
+            threads.emplace_back(worker, lo, i + 1);
+            lo = i + 1;
+            target = acc + per;
+        }
+    }
+    for (auto& th : threads) th.join();
+}
+
 namespace {
 
 // Exact gapCalc cost (kent gapCalc.c interpolate:82-104 + gapCalcCost:
@@ -176,7 +220,7 @@ inline int64_t gap_cost(int64_t dq, int64_t dt, const GapTables& g) {
 //   local  = max over blocks of clamped running sum (scoreChain.c
 //            chainCalcScoreLocal), via C_j - min(0, min prefix C_k)
 void gat_combine_scores(
-    const int16_t* chunk_scores, const int64_t* c_block, int64_t n_chunks,
+    const int32_t* chunk_scores, const int64_t* c_block, int64_t n_chunks,
     const int64_t* blocks,       // n_blocks * 4 [tS,tE,qS,qE]
     const int64_t* chain_off,    // n_chains+1 block-range offsets
     int64_t n_chains,

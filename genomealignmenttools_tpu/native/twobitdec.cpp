@@ -113,12 +113,28 @@ extern "C" {
 
 // Reverse-complement a code array (T=0 C=1 A=2 G=3 N=4): out[i] =
 // comp(in[n-1-i]).  Memory-bound; threaded over slices.
+//
+// Both main memory streams run FORWARD: the source chunk is copied
+// forward into a cache-resident staging buffer and reversed there
+// (virtualized deployments punish backward streaming ~100x - no
+// hardware prefetch across page boundaries).
 void gat_revcomp_codes(const uint8_t* in, int64_t n, uint8_t* out,
                        int n_threads) {
     static const uint8_t comp[5] = {2, 3, 0, 1, 4};
     if (n_threads < 1) n_threads = 1;
+    constexpr int64_t STAGE = 1 << 17;  // 128 KB: L2-resident
     auto worker = [&](int64_t lo, int64_t hi) {
-        for (int64_t i = lo; i < hi; ++i) out[i] = comp[in[n - 1 - i]];
+        uint8_t stage[STAGE];
+        // output chunk [o0, o1) comes from source chunk [n-o1, n-o0)
+        for (int64_t o0 = lo; o0 < hi; o0 += STAGE) {
+            const int64_t o1 = o0 + STAGE < hi ? o0 + STAGE : hi;
+            const int64_t len = o1 - o0;
+            const uint8_t* src = in + (n - o1);
+            std::memcpy(stage, src, len);           // forward read
+            uint8_t* dst = out + o0;
+            for (int64_t j = 0; j < len; ++j)       // cache-local reverse
+                dst[j] = comp[stage[len - 1 - j]];
+        }
     };
     if (n_threads == 1 || n < (1 << 20)) { worker(0, n); return; }
     std::vector<std::thread> threads;

@@ -204,7 +204,8 @@ class PairBlockScorer:
             block_base += blocks.shape[0]
         m = sum(p[2].shape[0] for p in parts)
         m_pad = m_pad_of(m)
-        c8 = np.empty((m_pad, CHUNK), np.uint8)
+        from ..utils.bigmem import big_empty
+        c8 = big_empty((m_pad, CHUNK), np.uint8)
         c8[m:] = 24
         row = 0
         for (tc, qc, c_toff, c_qoff, c_len) in parts:
@@ -268,9 +269,38 @@ class PairBlockScorer:
         threaded C++ LUT-sum (native/pairpack.cpp) - no accelerator
         involved; bit-identical."""
         if self.host_native:
-            c8, c_block, m, n_blocks = self._pack_multi_host(jobs)
             from ..native import get_lib
             lib = get_lib()
+            if lib is not None and hasattr(lib, "gat_block_scores_direct"):
+                # fused pack+score: per-block LUT sums straight from the
+                # genome arrays - zero intermediate tiles (fresh big
+                # allocations cost ~60ms/MB in page faults on sandboxed
+                # kernels, so skipping the c8 materialization is the
+                # single biggest host-path win)
+                import ctypes
+                u8p = ctypes.POINTER(ctypes.c_uint8)
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                outs = []
+                n_blocks = 0
+                for (tn, qn, strand, blocks) in jobs:
+                    tc = np.ascontiguousarray(self.t_genome.codes(tn, "+"))
+                    qc = np.ascontiguousarray(
+                        self.q_genome.codes(qn, strand))
+                    b = np.ascontiguousarray(blocks, np.int64)
+                    bs = np.empty(b.shape[0], np.int64)
+                    lib.gat_block_scores_direct(
+                        tc.ctypes.data_as(u8p), qc.ctypes.data_as(u8p),
+                        b.ctypes.data_as(i64p), b.shape[0],
+                        self.lut25.ctypes.data_as(i32p),
+                        bs.ctypes.data_as(i64p),
+                        min(os.cpu_count() or 1, 16))
+                    outs.append(bs)
+                    n_blocks += b.shape[0]
+                flat = np.concatenate(outs) if outs else np.zeros(0, np.int64)
+                # already per-block totals: c_block None = identity
+                return (flat, None, n_blocks)
+            c8, c_block, m, n_blocks = self._pack_multi_host(jobs)
             if lib is not None:
                 import ctypes
                 out = np.empty(m, np.int16)
@@ -299,6 +329,8 @@ class PairBlockScorer:
 
     def block_scores_multi(self, jobs) -> np.ndarray:
         cs, c_block, n_blocks = self.chunk_scores_multi(jobs)
+        if c_block is None:  # already per-block totals (direct host path)
+            return cs
         out = np.zeros(n_blocks, np.int64)
         from ..native import get_lib
         lib = get_lib()

@@ -247,7 +247,11 @@ class DeviceChainScorer:
                 all_blocks = hit[1]
             else:
                 all_hit = False
-                all_blocks = np.ascontiguousarray(np.concatenate(parts))
+                from ..utils.bigmem import big_empty
+                rows = sum(p.shape[0] for p in parts)
+                all_blocks = big_empty((rows, parts[0].shape[1]),
+                                       parts[0].dtype)
+                np.concatenate(parts, out=all_blocks)
                 if len(cache) > 32:
                     cache.clear()
                 cache[ck] = (parts, all_blocks)
@@ -341,10 +345,47 @@ class DeviceChainScorer:
                 all(a is b for a, (_, _, _, b) in zip(memo[1], jobs)):
             return memo[2]
         parts = [b for (_, _, _, b) in jobs]
-        all_blocks = np.ascontiguousarray(
-            np.concatenate(parts) if parts else np.zeros((0, 4)), np.int64)
+        if parts:
+            from ..utils.bigmem import big_empty
+            rows = sum(p.shape[0] for p in parts)
+            all_blocks = big_empty((rows, 4), np.int64)
+            if all(p.dtype == np.int64 for p in parts):
+                np.concatenate(parts, out=all_blocks)
+            else:
+                np.copyto(all_blocks, np.concatenate(parts))
+        else:
+            all_blocks = np.zeros((0, 4), np.int64)
         self._all_blocks_cache = (ck, parts, all_blocks)
         return all_blocks
+
+
+def auto_scorer_factory():
+    """Engine-side scorer auto-select (score_chain/chain_cleaner/chain_net
+    share it).  Returns a DeviceChainScorer factory, or None for the plain
+    python ChainScorer.
+
+    - GAT_RESCORE set (any explicit backend): DeviceChainScorer without
+      touching JAX - probing a remote-tunneled backend can cost tens of
+      seconds, and the decision is already made.
+    - accelerator present: DeviceChainScorer (batched device scoring).
+    - CPU backend: the all-native host backend when the C++ library is
+      available (fused pack+score beats the python scorer everywhere),
+      else the python scorer.
+    """
+    mode = os.environ.get("GAT_RESCORE", "auto")
+    if mode != "auto":
+        return DeviceChainScorer
+    import jax
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend != "cpu":
+        return DeviceChainScorer
+    from ..native import get_lib
+    if get_lib() is not None:
+        return functools.partial(DeviceChainScorer, mode="hostnative")
+    return None
 
 
 def _native_combine(lib, chunk_scores: np.ndarray, c_block: np.ndarray,
@@ -354,16 +395,23 @@ def _native_combine(lib, chunk_scores: np.ndarray, c_block: np.ndarray,
     import ctypes
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
-    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     n_chains = chain_off.shape[0] - 1
     n_blocks = blocks.shape[0]
-    bs_out = np.zeros(n_blocks, np.int64)
     out = np.zeros((n_chains, 3), np.int64)
-    chunk_scores = np.ascontiguousarray(chunk_scores, np.int16)
-    c_block = np.ascontiguousarray(c_block, np.int64)
+    if c_block is None:
+        # chunk_scores already ARE the per-block totals (fused direct
+        # host scoring); skip the segment-sum stage entirely
+        bs_out = np.ascontiguousarray(chunk_scores, np.int64)
+        chunk_scores = np.zeros(0, np.int32)
+        c_block = np.zeros(0, np.int64)
+    else:
+        bs_out = np.zeros(n_blocks, np.int64)
+        chunk_scores = np.ascontiguousarray(chunk_scores, np.int32)
+        c_block = np.ascontiguousarray(c_block, np.int64)
     gc = gap_calc
     lib.gat_combine_scores(
-        chunk_scores.ctypes.data_as(i16p), c_block.ctypes.data_as(i64p),
+        chunk_scores.ctypes.data_as(i32p), c_block.ctypes.data_as(i64p),
         chunk_scores.shape[0],
         blocks.ctypes.data_as(i64p), chain_off.ctypes.data_as(i64p),
         n_chains,
