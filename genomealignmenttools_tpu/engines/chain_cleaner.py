@@ -884,18 +884,36 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
         verbose(1, "0. need to net the input chains %s (no net file given) "
                    "...\n" % in_chain)
         net_source = "in-memory net of %s" % in_chain
-        t_net = io.StringIO()
-        # q-side net goes to /dev/null in the reference (chainCleaner.c:
-        # 1660) - skip formatting it entirely
-        chain_net(all_chains, t_sizes, q_sizes, t_net, None, min_score=0)
-        filtered = io.StringIO()
-        net_filter_non_nested(t_net.getvalue().splitlines(), filtered,
-                              min_score1=3000)
+        from ..native import get_lib as _get_lib
+        if _get_lib() is not None:
+            # all-bytes path: native net writer -> native two-set filter,
+            # no str round trips (byte-identical to the python path)
+            t_net_b = io.BytesIO()
+            # q-side net goes to /dev/null in the reference
+            # (chainCleaner.c:1660) - skip formatting it entirely
+            chain_net(all_chains, t_sizes, q_sizes, t_net_b, None,
+                      min_score=0)
+            net_bytes = t_net_b.getvalue()
+            from .net_filter_nonnested import filter_net_bytes
+            mv = filter_net_bytes(net_bytes, min_score1=3000)
+            if mv is not None:
+                net_text = mv
+            else:
+                filtered = io.StringIO()
+                net_filter_non_nested(net_bytes.decode().splitlines(),
+                                      filtered, min_score1=3000)
+                net_text = filtered.getvalue().encode()
+        else:
+            t_net = io.StringIO()
+            chain_net(all_chains, t_sizes, q_sizes, t_net, None, min_score=0)
+            filtered = io.StringIO()
+            net_filter_non_nested(t_net.getvalue().splitlines(), filtered,
+                                  min_score1=3000)
+            net_text = filtered.getvalue().encode()
         verbose(1, "DONE (nets in %s)\n" % net_source)
         verbose(1, "1. parsing fills/gaps from %s and getting valid breaks "
                    "...\n" % net_source)
         verbose(1, "1.1 read net file %s into memory ...\n" % net_source)
-        net_text = filtered.getvalue().encode()
         verbose(1, "DONE\n\n")
     else:
         net_source = net_file

@@ -533,10 +533,13 @@ class NativeNetTree:
         if lib is not None and hasattr(lib, "gat_net_write") and \
                 (rescorer is None or score_override is not None):
             mv = self._native_write(lib, is_q, score_override)
+            import io as _io
             buf = getattr(out, "buffer", None)
             if buf is not None:  # text wrapper over a binary stream
                 out.flush()
                 buf.write(mv)
+            elif isinstance(out, (_io.RawIOBase, _io.BufferedIOBase)):
+                out.write(mv)  # binary sink: zero-copy
             else:
                 out.write(bytes(mv).decode())
             return

@@ -246,17 +246,68 @@ class NetFilterNonNested:
                 minus_spaces[i] = minus_spaces.get(i, 0) + 2
 
 
+_PLAIN12_KEYS = {"min_score1", "min_size_t1", "min_size_q1",
+                 "min_score2", "min_size_t2", "min_size_q2"}
+
+
+def filter_net_bytes(data: bytes, **kwargs) -> "memoryview | None":
+    """Native two-set filter over raw net text (netwrite.cpp
+    gat_netfilter12); None when the mode or input is not handled (caller
+    falls back to the line-based python filter, byte-identical)."""
+    if set(kwargs) - _PLAIN12_KEYS or not any(kwargs.values()):
+        return None
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gat_netfilter12"):
+        return None
+    f = NetFilterNonNested(**kwargs)  # resolves the INT_MAX set defaults
+    if f.filter_mode != "12":
+        return None
+    import ctypes
+
+    import numpy as np
+    out_len = ctypes.c_int64()
+    ok = ctypes.c_int32(0)
+    p = lib.gat_netfilter12(data, len(data),
+                            f.min_score1, f.min_size_t1, f.min_size_q1,
+                            f.min_score2, f.min_size_t2, f.min_size_q2,
+                            ctypes.byref(out_len), ctypes.byref(ok))
+    try:
+        if not ok.value:
+            return None
+        from ..utils.bigmem import big_empty
+        out_arr = big_empty(out_len.value, np.uint8)
+        if out_len.value:
+            ctypes.memmove(out_arr.ctypes.data, p, out_len.value)
+        return memoryview(out_arr).cast("B")
+    finally:
+        if p:
+            lib.gat_free_buffer(p)
+
+
 def net_filter_non_nested(in_path_or_lines, out,
                           **kwargs) -> None:
-    if isinstance(in_path_or_lines, list):
+    data = None
+    if isinstance(in_path_or_lines, str) and \
+            not in_path_or_lines.endswith(".gz"):
+        with open(in_path_or_lines, "rb") as f:
+            data = f.read()
+        mv = filter_net_bytes(data, **kwargs)
+        if mv is not None:
+            buf = getattr(out, "buffer", None)
+            if buf is not None:
+                out.flush()
+                buf.write(mv)
+            else:
+                out.write(bytes(mv).decode())
+            return
+    if data is not None:
+        lines = data.decode().splitlines()
+    elif isinstance(in_path_or_lines, list):
         lines = in_path_or_lines
     elif isinstance(in_path_or_lines, str):
-        if in_path_or_lines.endswith(".gz"):
-            with io.TextIOWrapper(gzip.open(in_path_or_lines, "rb")) as f:
-                lines = f.read().splitlines()
-        else:
-            with open(in_path_or_lines) as f:
-                lines = f.read().splitlines()
+        with io.TextIOWrapper(gzip.open(in_path_or_lines, "rb")) as f:
+            lines = f.read().splitlines()
     else:
         lines = in_path_or_lines.read().splitlines()
     NetFilterNonNested(**kwargs).filter_lines(lines, out)

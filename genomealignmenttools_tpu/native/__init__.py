@@ -211,6 +211,13 @@ def get_lib():
         ctypes.c_double, ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.gat_netfilter12.restype = ctypes.POINTER(ctypes.c_char)
+    lib.gat_netfilter12.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.gat_expand_blocks.restype = None
     lib.gat_expand_blocks.argtypes = [
         ctypes.c_int64, ctypes.c_int64,

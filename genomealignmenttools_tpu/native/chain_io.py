@@ -62,29 +62,38 @@ def serialize_chains(chains: list[Chain]) -> "bytes | None":
     if lib is None:
         return None
     n = len(chains)
-    scores = np.array([c.score for c in chains], np.float64)
-    header = np.zeros((n, 7), np.int64)
-    strands = np.zeros(n, np.uint8)
-    name_parts = []
-    name_offsets = np.zeros(2 * n + 1, np.int64)
-    off = 0
+    # single flat generator pass beats per-row ndarray assignment ~4x
+    scores = np.fromiter((c.score for c in chains), np.float64, n)
+    header = np.fromiter(
+        (v for c in chains
+         for v in (c.t_size, c.t_start, c.t_end, c.q_size, c.q_start,
+                   c.q_end, c.id)),
+        np.int64, 7 * n).reshape(n, 7)
+    strands = np.fromiter((ord(c.q_strand) for c in chains), np.uint8, n)
+    # chain files repeat a handful of chrom names; encode each once
+    enc: dict[str, bytes] = {}
+
+    def _enc(s: str) -> bytes:
+        b = enc.get(s)
+        if b is None:
+            b = enc[s] = s.encode()
+        return b
+
+    name_parts = [b""] * (2 * n)
+    name_lens = np.zeros(2 * n, np.int64)
     for i, c in enumerate(chains):
-        header[i] = [c.t_size, c.t_start, c.t_end, c.q_size, c.q_start,
-                     c.q_end, c.id]
-        strands[i] = ord(c.q_strand)
-        tn = c.t_name.encode()
-        qn = c.q_name.encode()
-        name_offsets[2 * i] = off
-        off += len(tn)
-        name_offsets[2 * i + 1] = off
-        off += len(qn)
-        name_parts.append(tn)
-        name_parts.append(qn)
-    name_offsets[2 * n] = off
+        tn = _enc(c.t_name)
+        qn = _enc(c.q_name)
+        name_parts[2 * i] = tn
+        name_parts[2 * i + 1] = qn
+        name_lens[2 * i] = len(tn)
+        name_lens[2 * i + 1] = len(qn)
+    name_offsets = np.zeros(2 * n + 1, np.int64)
+    np.cumsum(name_lens, out=name_offsets[1:])
     blob = b"".join(name_parts)
     block_offsets = np.zeros(n + 1, np.int64)
-    for i, c in enumerate(chains):
-        block_offsets[i + 1] = block_offsets[i] + c.n_blocks
+    np.cumsum(np.fromiter((c.n_blocks for c in chains), np.int64, n),
+              out=block_offsets[1:])
     from ..utils.bigmem import big_empty
     if n:
         blocks = big_empty((int(block_offsets[-1]), 4), np.int64)

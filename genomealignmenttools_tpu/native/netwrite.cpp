@@ -14,6 +14,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -192,6 +193,181 @@ char* gat_net_write(
     free(pref);
     *out_len = buf.len;
     return buf.p;
+}
+
+// Non-nested net filter, two-set ("12") mode fast path
+// (NetFilterNonNested.perl:144-243 + eraseGapsMarkSkip 424-458, mirrored
+// from engines/net_filter_nonnested.py filter_lines): every fill judged
+// individually against (score,tSize,qSize) >= set1 OR set2; a dropped
+// fill skips its direct gap children and promotes deeper lines 2 spaces
+// left; net headers print only when >=1 fill survives.  Only the mode the
+// in-process chainCleaner netting uses (no syn/inv rescue, no type
+// parsing) - *ok=0 means "input or mode not handled, use the python
+// path".
+char* gat_netfilter12(const char* text, int64_t n,
+                      int64_t s1, int64_t t1, int64_t q1,
+                      int64_t s2, int64_t t2, int64_t q2,
+                      int64_t* out_len, int32_t* ok) {
+    *ok = 0;
+    *out_len = 0;
+    // index lines
+    std::vector<int64_t> starts;
+    starts.reserve(1 << 20);
+    int64_t pos = 0;
+    while (pos < n) {
+        starts.push_back(pos);
+        const char* nl = (const char*)memchr(text + pos, '\n', n - pos);
+        pos = nl ? (nl - text) + 1 : n;
+    }
+    const int64_t n_lines = (int64_t)starts.size();
+    auto line_end = [&](int64_t i) {
+        int64_t e = (i + 1 < n_lines) ? starts[i + 1] - 1 : n;
+        if (e > starts[i] && text[e - 1] == '\n') --e;  // defensive
+        return e;
+    };
+    std::vector<uint8_t> skip(n_lines, 0);
+    std::vector<int32_t> minus(n_lines, 0);
+    std::vector<int32_t> net_kept(n_lines, -1);  // -1 = not a net line
+    std::vector<uint8_t> lvl2_skipped(4096, 0);
+    int64_t max_level = 1;
+
+    auto level_of = [&](int64_t i) {
+        int64_t s = starts[i], e = line_end(i);
+        int64_t l = 0;
+        while (s + l < e && text[s + l] == ' ') ++l;
+        return l;
+    };
+    auto parse_int = [&](const char* p, const char* e, int64_t* v) {
+        int64_t x = 0;
+        bool any = false, neg = false;
+        if (p < e && *p == '-') { neg = true; ++p; }
+        while (p < e && *p >= '0' && *p <= '9') {
+            x = x * 10 + (*p - '0');
+            ++p;
+            any = true;
+        }
+        *v = neg ? -x : x;
+        return any;
+    };
+
+    // first net line (skip leading '#' comments)
+    int64_t start = 0;
+    while (start < n_lines) {
+        if (text[starts[start]] == '#') { ++start; continue; }
+        break;
+    }
+    if (start >= n_lines ||
+        line_end(start) - starts[start] < 4 ||
+        memcmp(text + starts[start], "net ", 4) != 0)
+        return nullptr;
+    int64_t cur_net = start;
+    net_kept[cur_net] = 0;
+
+    for (int64_t i = start + 1; i < n_lines; ++i) {
+        const int64_t ls = starts[i], le = line_end(i);
+        if (le == ls) return nullptr;  // blank line: python raises
+        // " gap " containment check (perl: next if / gap /)
+        {
+            const char* f = text + ls;
+            const char* lim = text + le - 4;
+            bool has = false;
+            for (; f <= lim; ++f)
+                if (f[0] == ' ' && f[1] == 'g' && f[2] == 'a' &&
+                    f[3] == 'p' && f + 4 < text + le && f[4] == ' ') {
+                    has = true;
+                    break;
+                }
+            if (has) continue;
+        }
+        if (le - ls >= 4 && memcmp(text + ls, "net ", 4) == 0) {
+            cur_net = i;
+            net_kept[cur_net] = 0;
+            continue;
+        }
+        int64_t level = level_of(i);
+        const char* rest = text + ls + level;
+        const char* e = text + le;
+        if (level < 1) return nullptr;
+        if (!(e - rest >= 5 && memcmp(rest, "fill ", 5) == 0)) {
+            if (e - rest >= 4 && memcmp(rest, "gap ", 4) == 0)
+                continue;  // gap without " gap "? unreachable, but match
+            return nullptr;
+        }
+        if (level > max_level) max_level = level;
+        if (max_level >= (int64_t)lvl2_skipped.size())
+            lvl2_skipped.resize(max_level * 2, 0);
+        // w[2] (t span) and w[6] (q span): single-space fields
+        int64_t tsz = 0, qsz = 0, score = 0;
+        {
+            const char* p = rest;
+            int field = 0;
+            const char* f2 = nullptr;
+            const char* f6 = nullptr;
+            while (p < e) {
+                if (field == 2 && !f2) f2 = p;
+                if (field == 6 && !f6) f6 = p;
+                const char* sp = (const char*)memchr(p, ' ', e - p);
+                if (!sp) break;
+                p = sp + 1;
+                ++field;
+            }
+            if (field == 6 && !f6) f6 = p;
+            if (!f2 || !f6) return nullptr;
+            if (!parse_int(f2, e, &tsz) || !parse_int(f6, e, &qsz))
+                return nullptr;
+            // " score " field
+            const char* sc = nullptr;
+            for (const char* g = rest; g + 7 <= e; ++g)
+                if (memcmp(g, " score ", 7) == 0) { sc = g + 7; break; }
+            if (!sc || !parse_int(sc, e, &score)) return nullptr;
+        }
+        bool pass = (score >= s1 && tsz >= t1 && qsz >= q1) ||
+                    (score >= s2 && tsz >= t2 && qsz >= q2);
+        if (pass) {
+            ++net_kept[cur_net];
+            for (int64_t lv = level; lv <= max_level; ++lv)
+                lvl2_skipped[lv] = 0;
+        } else {
+            skip[i] = 1;
+            // eraseGapsMarkSkip
+            for (int64_t j = i + 1; j < n_lines; ++j) {
+                const int64_t js = starts[j], je = line_end(j);
+                if (je - js >= 4 && memcmp(text + js, "net ", 4) == 0)
+                    break;
+                int64_t cl = level_of(j);
+                const char* jr = text + js + cl;
+                if (cl < 1 ||
+                    !((je - js - cl >= 5 && memcmp(jr, "fill ", 5) == 0) ||
+                      (je - js - cl >= 4 && memcmp(jr, "gap ", 4) == 0)))
+                    return nullptr;
+                if (cl <= level) break;
+                if (cl == level + 1) skip[j] = 1;
+                else minus[j] += 2;
+            }
+            lvl2_skipped[level] = 1;
+        }
+    }
+
+    // output pass
+    Buf buf;
+    for (int64_t i = 0; i < n_lines; ++i) {
+        const int64_t ls = starts[i], le = line_end(i);
+        if (le - ls >= 4 && memcmp(text + ls, "net ", 4) == 0 &&
+            net_kept[i] > 0) {
+            buf.add(text + ls, le - ls);
+            buf.add("\n", 1);
+        }
+        if (!skip[i]) {
+            int64_t level = level_of(i);
+            if (level >= 1) {
+                buf.add(text + ls + minus[i], le - ls - minus[i]);
+                buf.add("\n", 1);
+            }
+        }
+    }
+    *out_len = buf.len;
+    *ok = 1;
+    return buf.p ? buf.p : (char*)malloc(1);
 }
 
 }  // extern "C"
