@@ -263,7 +263,13 @@ class ChainCleaner:
         lib = get_lib()
         if lib is None:
             return False
-        res_p = lib.gat_net_scan(net_text, len(net_text))
+        import ctypes
+        if isinstance(net_text, (bytes, bytearray)):
+            buf = net_text
+        else:  # memoryview from filter_net_bytes: zero-copy ctypes view
+            mv = memoryview(net_text)
+            buf = (ctypes.c_char * mv.nbytes).from_buffer(mv)
+        res_p = lib.gat_net_scan(buf, len(net_text))
         try:
             res = res_p.contents
             err = bytes(res.error).split(b"\0")[0]

@@ -192,7 +192,10 @@ def get_lib():
 
     lib.GatNetScan = GatNetScan
     lib.gat_net_scan.restype = ctypes.POINTER(GatNetScan)
-    lib.gat_net_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    # POINTER(c_char) (not c_char_p) so any buffer — bytes or a zero-copy
+    # ctypes view over a memoryview/ndarray — is accepted.
+    lib.gat_net_scan.argtypes = [ctypes.POINTER(ctypes.c_char),
+                                 ctypes.c_int64]
     lib.gat_net_scan_free.argtypes = [ctypes.POINTER(GatNetScan)]
 
     lib.gat_net_write.restype = ctypes.POINTER(ctypes.c_char)
