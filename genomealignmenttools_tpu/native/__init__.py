@@ -198,6 +198,23 @@ def get_lib():
                                  ctypes.c_int64]
     lib.gat_net_scan_free.argtypes = [ctypes.POINTER(GatNetScan)]
 
+    class GatBreaks(ctypes.Structure):
+        _fields_ = [
+            ("n_breaks", ctypes.c_int64),
+            ("breaks", ctypes.POINTER(ctypes.c_int64)),
+            ("n_nets", ctypes.c_int64),
+            ("name_blob", ctypes.POINTER(ctypes.c_char)),
+            ("name_off", ctypes.POINTER(ctypes.c_int64)),
+            ("error", ctypes.c_char * 256),
+            ("state", ctypes.c_void_p),
+        ]
+
+    lib.GatBreaks = GatBreaks
+    lib.gat_find_breaks.restype = ctypes.POINTER(GatBreaks)
+    lib.gat_find_breaks.argtypes = [ctypes.POINTER(ctypes.c_char),
+                                    ctypes.c_int64]
+    lib.gat_find_breaks_free.argtypes = [ctypes.POINTER(GatBreaks)]
+
     lib.gat_net_write.restype = ctypes.POINTER(ctypes.c_char)
     lib.gat_net_write.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,

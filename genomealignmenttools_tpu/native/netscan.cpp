@@ -10,10 +10,13 @@
 // Output per node: depth, t_start, t_size, chain_id (0 = gap), net_idx.
 // Net headers are returned as a name blob + offsets.
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -129,6 +132,282 @@ GatNetScan* gat_net_scan(const char* buf, int64_t len) {
 void gat_net_scan_free(GatNetScan* res) {
   if (!res) return;
   delete static_cast<NetScanState*>(res->state);
+  delete res;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full break finding (chainCleaner.c getFillGapAndValidBreaks:1088-1169,
+// parseFill:786-860, getValidBreaks:969-1079) over the scanned node stream.
+// Returns accepted break records in production order; the caller replays
+// them into its break hash / chain-of-interest hash (tiny).
+//
+// Output order depends on kent hashTraverseEls over chainId2Count
+// (hash.c semantics: hashString result*9+c, 4096 buckets, LIFO adds,
+// doubling resize that preserves relative traversal order) - replicated
+// below for decimal chain-id keys.
+
+namespace {
+
+inline uint32_t kent_hash_int(int64_t v) {
+  char buf[24];
+  int n = std::snprintf(buf, sizeof(buf), "%lld", (long long)v);
+  uint32_t r = 0;
+  for (int i = 0; i < n; ++i) r = r * 9 + (uint8_t)buf[i];
+  return r;
+}
+
+struct KentCountHash {
+  struct Entry { uint32_t hv; int64_t cid; int64_t count; };
+  std::vector<std::vector<Entry>> table;
+  size_t el_count = 0;
+  int power = 12;
+
+  KentCountHash() : table(1u << 12) {}
+
+  void resize() {
+    int new_power = power + 1;
+    std::vector<std::vector<Entry>> nt(1u << new_power);
+    uint32_t mask = (1u << new_power) - 1;
+    // old traversal order, prepending into new buckets...
+    for (auto& bucket : table)
+      for (auto& e : bucket) {
+        auto& nb = nt[e.hv & mask];
+        nb.insert(nb.begin(), e);
+      }
+    // ...then reverse every bucket (hashReverseAllBucketLists)
+    for (auto& b : nt) std::reverse(b.begin(), b.end());
+    table.swap(nt);
+    power = new_power;
+  }
+
+  // increment count for cid (add with 1 on first sight - LIFO prepend)
+  void inc(int64_t cid) {
+    uint32_t hv = kent_hash_int(cid);
+    auto& bucket = table[hv & ((1u << power) - 1)];
+    for (auto& e : bucket)
+      if (e.cid == cid) { ++e.count; return; }
+    bucket.insert(bucket.begin(), Entry{hv, cid, 1});
+    if (++el_count > (1u << power)) resize();
+  }
+};
+
+struct FillGap {
+  int64_t depth, chain_id, net_idx;
+  int64_t fill_start, fill_end, gap_start, gap_end, parent_chain_id;
+};
+
+struct MergedChrom {
+  std::vector<int64_t> starts, ends;
+  std::vector<int64_t> val_off;          // n_ranges+1 into vals
+  std::vector<int64_t> vals;             // chain ids per merged range
+};
+
+}  // namespace
+
+extern "C" {
+
+struct GatBreaks {
+  int64_t n_breaks;
+  const int64_t* breaks;  // (n, 12): depth, cid, parent, net_idx,
+                          // lfs, lfe, rfs, rfe, lgs, lge, rgs, rge
+  int64_t n_nets;
+  const char* name_blob;
+  const int64_t* name_off;
+  char error[256];
+  void* state;
+};
+
+struct BreaksState {
+  std::vector<int64_t> breaks;
+  std::vector<char> names;
+  std::vector<int64_t> name_off;
+};
+
+GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
+  auto* res = new GatBreaks();
+  std::memset(res->error, 0, sizeof(res->error));
+  auto* bs = new BreaksState();
+  res->state = bs;
+
+  GatNetScan* scan = gat_net_scan(buf, len);
+  if (scan->error[0]) {
+    std::memcpy(res->error, scan->error, sizeof(res->error));
+    gat_net_scan_free(scan);
+    return res;
+  }
+  const int64_t* nodes = scan->nodes;
+  int64_t n = scan->n_nodes;
+
+  // parseFill walk: chainId2Count + per-chain fill/gap lists
+  KentCountHash counts;
+  std::unordered_map<int64_t, std::vector<FillGap>> fg_lists;
+  {
+    std::vector<int64_t> d2g;     // depth -> [g_start, g_end, g_parent]
+    std::vector<int64_t> d2c;     // depth -> chain id
+    int64_t cur_net = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t* nd = nodes + i * 5;
+      int64_t depth = nd[0], t_start = nd[1], t_size = nd[2],
+              cid = nd[3], net_idx = nd[4];
+      if (net_idx != cur_net) { cur_net = net_idx; d2g.clear(); d2c.clear(); }
+      if (cid < 0) {
+        std::snprintf(res->error, sizeof(res->error),
+                      "fill line without an id tag in net input (cannot "
+                      "resolve break structure)");
+        gat_net_scan_free(scan);
+        return res;
+      }
+      if (cid) {
+        if ((int64_t)d2c.size() <= depth) d2c.resize(depth + 1, -1);
+        d2c[depth] = cid;
+        if (depth > 1) {
+          counts.inc(cid);
+          if ((int64_t)d2g.size() < 3 * depth) {
+            std::snprintf(res->error, sizeof(res->error),
+                          "fill at depth %lld without enclosing gap",
+                          (long long)depth);
+            gat_net_scan_free(scan);
+            return res;
+          }
+          const int64_t* g = d2g.data() + 3 * (depth - 1);
+          fg_lists[cid].push_back(FillGap{depth, cid, net_idx,
+                                          t_start, t_start + t_size,
+                                          g[0], g[1], g[2]});
+        }
+      } else {
+        if ((int64_t)d2g.size() < 3 * (depth + 1)) d2g.resize(3 * (depth + 1));
+        int64_t parent = (depth - 1 < (int64_t)d2c.size() && depth >= 1)
+                             ? d2c[depth - 1] : -1;
+        if (parent < 0) {
+          std::snprintf(res->error, sizeof(res->error),
+                        "gap at depth %lld without parent fill",
+                        (long long)depth);
+          gat_net_scan_free(scan);
+          return res;
+        }
+        int64_t* g = d2g.data() + 3 * depth;
+        g[0] = t_start; g[1] = t_start + t_size; g[2] = parent;
+      }
+    }
+  }
+
+  // rConvert / addAliBlocksToGenomeRangeTree: per fill, cut its span at
+  // child gaps (depth+1) that themselves have children; linear pass with
+  // an explicit fill stack (the python reference rescans subtrees).
+  std::unordered_map<int64_t, std::vector<std::array<int64_t, 3>>> raw;
+  {
+    struct OpenFill { int64_t depth, cid, net_idx, cursor, t_end; };
+    std::vector<OpenFill> stack;
+    auto close_to = [&](int64_t depth) {
+      while (!stack.empty() && stack.back().depth >= depth) {
+        OpenFill& f = stack.back();
+        raw[f.net_idx].push_back({f.cursor, f.t_end, f.cid});
+        stack.pop_back();
+      }
+    };
+    int64_t cur_net = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t* nd = nodes + i * 5;
+      int64_t depth = nd[0], t_start = nd[1], t_size = nd[2],
+              cid = nd[3], net_idx = nd[4];
+      if (net_idx != cur_net) { close_to(0); cur_net = net_idx; }
+      close_to(depth);
+      if (cid) {
+        stack.push_back(OpenFill{depth, cid, net_idx, t_start,
+                                 t_start + t_size});
+      } else {
+        bool has_children = (i + 1 < n) && nodes[(i + 1) * 5] > depth;
+        if (has_children && !stack.empty() &&
+            stack.back().depth == depth - 1) {
+          OpenFill& f = stack.back();
+          raw[f.net_idx].push_back({f.cursor, t_start, f.cid});
+          f.cursor = t_start + t_size;
+        }
+      }
+    }
+    close_to(0);
+  }
+
+  // merge strictly-overlapping ranges per chrom (genomeRangeTree
+  // AddValList semantics: sort by (start, end); s < prev_end merges)
+  std::unordered_map<int64_t, MergedChrom> merged;
+  for (auto& [net_idx, items] : raw) {
+    std::sort(items.begin(), items.end(),
+              [](const std::array<int64_t, 3>& a,
+                 const std::array<int64_t, 3>& b) {
+                return a[0] != b[0] ? a[0] < b[0] : a[1] < b[1];
+              });
+    MergedChrom& mc = merged[net_idx];
+    mc.val_off.push_back(0);
+    for (auto& it : items) {
+      if (!mc.starts.empty() && it[0] < mc.ends.back()) {
+        if (it[1] > mc.ends.back()) mc.ends.back() = it[1];
+        mc.vals.push_back(it[2]);
+        mc.val_off.back() = (int64_t)mc.vals.size();
+      } else {
+        mc.starts.push_back(it[0]);
+        mc.ends.push_back(it[1]);
+        mc.vals.push_back(it[2]);
+        mc.val_off.push_back((int64_t)mc.vals.size());
+      }
+    }
+  }
+
+  auto broken_by_higher = [&](int64_t net_idx, int64_t start, int64_t end,
+                              int64_t cid, int64_t parent) -> bool {
+    auto it = merged.find(net_idx);
+    if (it == merged.end()) return false;
+    const MergedChrom& mc = it->second;
+    // ranges with range.end > start and range.start < end
+    int64_t lo = std::upper_bound(mc.ends.begin(), mc.ends.end(), start)
+                 - mc.ends.begin();
+    int64_t hi = std::lower_bound(mc.starts.begin(), mc.starts.end(), end)
+                 - mc.starts.begin();
+    for (int64_t r = lo; r < hi; ++r)
+      for (int64_t v = mc.val_off[r]; v < mc.val_off[r + 1]; ++v)
+        if (mc.vals[v] < cid && mc.vals[v] != parent) return true;
+    return false;
+  };
+
+  // getValidBreaks per hashTraverseEls(chainId2Count)
+  for (auto& bucket : counts.table) {
+    for (auto& e : bucket) {
+      if (e.count == 1) continue;
+      const std::vector<FillGap>& lst = fg_lists[e.cid];
+      for (size_t k = 0; k + 1 < lst.size(); ++k) {
+        const FillGap& a = lst[k];
+        const FillGap& b = lst[k + 1];
+        if (a.depth != b.depth) continue;
+        if (a.parent_chain_id != b.parent_chain_id) continue;
+        if (broken_by_higher(a.net_idx, a.fill_end, b.fill_start,
+                             a.chain_id, a.parent_chain_id))
+          continue;
+        if (a.gap_start == b.gap_start && a.gap_end == b.gap_end) continue;
+        bs->breaks.insert(bs->breaks.end(),
+                          {a.depth, a.chain_id, a.parent_chain_id, a.net_idx,
+                           a.fill_start, a.fill_end, b.fill_start, b.fill_end,
+                           a.gap_start, a.gap_end, b.gap_start, b.gap_end});
+      }
+    }
+  }
+
+  // hand the net names through (the python side labels breaks by chrom)
+  bs->names.assign(scan->name_blob, scan->name_blob + scan->name_off[scan->n_nets]);
+  bs->name_off.assign(scan->name_off, scan->name_off + scan->n_nets + 1);
+  res->n_breaks = (int64_t)bs->breaks.size() / 12;
+  res->breaks = bs->breaks.data();
+  res->n_nets = scan->n_nets;
+  res->name_blob = bs->names.data();
+  res->name_off = bs->name_off.data();
+  gat_net_scan_free(scan);
+  return res;
+}
+
+void gat_find_breaks_free(GatBreaks* res) {
+  if (!res) return;
+  delete static_cast<BreaksState*>(res->state);
   delete res;
 }
 
