@@ -200,7 +200,12 @@ class ChainCleaner:
                  do_pairs: bool = False,
                  lr_fold_threshold_pairs: float = 10.0,
                  max_pair_distance: int = 10000,
-                 host_scorer: ChainScorer | None = None):
+                 host_scorer: ChainScorer | None = None,
+                 only_this_chr: str | None = None,
+                 only_this_start: int = -1,
+                 only_this_end: int = -1,
+                 suspect_data_out=None,
+                 debug_out: dict | None = None):
         self.scorer = scorer
         # host scorer for cache-miss stragglers (bit-identical to the
         # device path); defaults to the main scorer
@@ -214,6 +219,19 @@ class ChainCleaner:
         self.do_pairs = do_pairs
         self.lr_fold_pairs = lr_fold_threshold_pairs
         self.max_pair_distance = max_pair_distance
+        # debug/introspection surface (chainCleaner.c:248-270):
+        # -onlyThisChr/-onlyThisStart/-onlyThisEnd restrict netting walk +
+        # break pairing to one suspect region; -suspectDataFile dumps every
+        # tested break's data and suppresses all removals (doPairs forced
+        # off by the caller, chainCleaner.c:1831-1832); -debug writes the 4
+        # sub-chains + suspect/fill bed per test (chainCleaner.c:1312-1321)
+        self.only_this_chr = only_this_chr
+        self.only_this_start = only_this_start
+        self.only_this_end = only_this_end
+        self.suspect_data_out = suspect_data_out
+        self._suspect_id = 0
+        self.debug_out = debug_out or {}
+        self._debug_info = ""
 
         self.chain_of_interest = KentHash()  # chainId2IsOfInterest
         self.needs_rescoring = KentHash()
@@ -244,6 +262,11 @@ class ChainCleaner:
         chain_id_count = KentHash()
         fill_gap_lists = KentHash()
         for net in nets:
+            # -onlyThisChr skips whole nets in both walks
+            # (chainCleaner.c:1118, 1132)
+            if self.only_this_chr is not None \
+                    and net.name != self.only_this_chr:
+                continue
             depth2gap: dict[int, tuple] = {}
             depth2chain: dict[int, int] = {}
             _parse_fill_walk(net.name, net.fills, 1, depth2gap, depth2chain,
@@ -251,6 +274,9 @@ class ChainCleaner:
 
         tree = _MergedRanges()
         for net in nets:
+            if self.only_this_chr is not None \
+                    and net.name != self.only_this_chr:
+                continue
             _r_convert(tree, net.fills, net.name)
         tree.build()
         self._valid_breaks(chain_id_count, fill_gap_lists, tree)
@@ -262,6 +288,9 @@ class ChainCleaner:
         accepted break records into the kent-ordered hashes.  Returns
         False when the native library is unavailable (caller falls back
         to read_nets)."""
+        if self.only_this_chr is not None:
+            # the onlyThis* filters live in the python walk
+            return False
         from ..native import get_lib
         lib = get_lib()
         if lib is None:
@@ -394,6 +423,16 @@ class ChainCleaner:
                 continue
             fg_list: list[FillGapInfo] = fill_gap_lists.lookup(key)
             for a, b in zip(fg_list, fg_list[1:]):
+                # -onlyThisChr/-onlyThisStart/-onlyThisEnd restrict to one
+                # suspect region (chainCleaner.c:999-1003); Start matches
+                # the left gap end, End the right gap start
+                if self.only_this_chr is not None:
+                    if a.chrom != self.only_this_chr:
+                        continue
+                    if self.only_this_start != a.gap_end:
+                        continue
+                    if self.only_this_end != b.gap_start:
+                        continue
                 if a.depth != b.depth:
                     continue
                 if a.parent_chain_id != b.parent_chain_id:
@@ -440,11 +479,17 @@ class ChainCleaner:
         (lineFileSetMetaDataOutput on finalChainOutFile,
         chainCleaner.c:590)."""
         meta = lambda line: passthrough_out.write(line + "\n")
+        interest_f = self.debug_out.get("interest")
         for chain in iter_chains(chain_file, meta_out=meta):
             if self.max_chain_id < chain.id:
                 self.max_chain_id = chain.id
+            if self.only_this_chr is not None \
+                    and chain.t_name != self.only_this_chr:
+                continue  # dropped entirely (chainCleaner.c:600-601)
             if str(chain.id) in self.chain_of_interest:
                 self.chains[chain.id] = chain
+                if interest_f is not None:
+                    interest_f.write(chain.to_text())
             else:
                 passthrough_out.write(chain.to_text())
 
@@ -452,11 +497,17 @@ class ChainCleaner:
         """readChainsOfInterest over a pre-parsed list: store breaking and
         broken chains, return the pass-through rest (in input order)."""
         passthrough: list[Chain] = []
+        interest_f = self.debug_out.get("interest")
         for chain in chains:
             if self.max_chain_id < chain.id:
                 self.max_chain_id = chain.id
+            if self.only_this_chr is not None \
+                    and chain.t_name != self.only_this_chr:
+                continue  # dropped entirely (chainCleaner.c:600-601)
             if str(chain.id) in self.chain_of_interest:
                 self.chains[chain.id] = chain
+                if interest_f is not None:
+                    interest_f.write(chain.to_text())
             else:
                 passthrough.append(chain)
         return passthrough
@@ -570,12 +621,12 @@ class ChainCleaner:
             # suspect already deleted by an earlier removal this iteration
             # (chainCleaner.c:1221-1224)
             return False, False
-        fill_global = self._score_sub(broken, brk.l_fill_start,
-                                      brk.r_fill_end)[0]
-        lfill_global = self._score_sub(broken, brk.l_fill_start,
-                                       brk.suspect_end)[0]
-        rfill_global = self._score_sub(broken, brk.suspect_start,
-                                       brk.r_fill_end)[0]
+        fill_global, fill_local = self._score_sub(
+            broken, brk.l_fill_start, brk.r_fill_end)[:2]
+        lfill_global, lfill_local = self._score_sub(
+            broken, brk.l_fill_start, brk.suspect_end)[:2]
+        rfill_global, rfill_local = self._score_sub(
+            broken, brk.suspect_start, brk.r_fill_end)[:2]
 
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = float(np.float64(fill_global) / np.float64(suspect_local))
@@ -592,6 +643,65 @@ class ChainCleaner:
             and (brk.l_gap_end - brk.l_gap_start) >= self.min_lr_gap
             and (brk.r_gap_end - brk.r_gap_start) >= self.min_lr_gap
         )
+
+        if self.suspect_data_out is not None:
+            # -suspectDataFile: dump this break's data, never remove
+            # (chainCleaner.c:1282-1310)
+            removed = False
+            self._suspect_id += 1
+            self.suspect_data_out.write(
+                "%s\t%d\t%d\t%d,%d,%d,%d,%d,%d,%d,%d,%d,%d,%d,%d,%d,%d\n"
+                % (brk.chrom, brk.suspect_start, brk.suspect_end,
+                   self._suspect_id, brk.parent_chain_id,
+                   int(breaking_score), brk.chain_id, int(broken_score),
+                   int(suspect_local), int(fill_global),
+                   int(lfill_global), int(rfill_global),
+                   suspect_bases,
+                   brk.l_gap_end - brk.l_gap_start,
+                   brk.r_gap_end - brk.r_gap_start,
+                   int(lfill_local), int(rfill_local)))
+
+        if self.debug_out:
+            # -debug: write the 4 sub-chains and the suspect/fill bed
+            # entries (chainCleaner.c:1312-1321); the sub-chains carry the
+            # parent chain's id and the getChainScore global score
+            def _sub_with_score(chain, start, end, global_score):
+                sub = chain.subset_on_t(start, end)
+                sub.score = global_score
+                return sub
+
+            di = self._debug_info
+            self.debug_out["suspect"].write(_sub_with_score(
+                breaking, brk.suspect_start, brk.suspect_end,
+                sus_global).to_text())
+            self.debug_out["lfill"].write(_sub_with_score(
+                broken, brk.l_fill_start, brk.suspect_end,
+                lfill_global).to_text())
+            self.debug_out["rfill"].write(_sub_with_score(
+                broken, brk.suspect_start, brk.r_fill_end,
+                rfill_global).to_text())
+            self.debug_out["fill"].write(_sub_with_score(
+                broken, brk.l_fill_start, brk.r_fill_end,
+                fill_global).to_text())
+            bed = self.debug_out["bed"]
+            bed.write("%s\t%d\t%d\t%s%sSuspect__score_%.0f__Rleft_%.2f"
+                      "__Rright_%.2f\t1000\t+\t%d\t%d\t255,0,0\n"
+                      % (brk.chrom, brk.suspect_start, brk.suspect_end,
+                         "REMOVED_" if removed else "", di, suspect_local,
+                         ratio_l, ratio_r,
+                         brk.suspect_start, brk.suspect_end))
+            bed.write("%s\t%d\t%d\t%sFill__score_%.0f\t1000\t+\t%d\t%d\t"
+                      "0,0,255\n" % (brk.chrom, brk.l_fill_start,
+                                     brk.r_fill_end, di, fill_global,
+                                     brk.l_fill_start, brk.r_fill_end))
+            bed.write("%s\t%d\t%d\t%sLfill__score_%.0f\t1000\t+\t%d\t%d\t"
+                      "0,125,255\n" % (brk.chrom, brk.l_fill_start,
+                                       brk.suspect_end, di, lfill_global,
+                                       brk.l_fill_start, brk.l_fill_end))
+            bed.write("%s\t%d\t%d\t%sRfill__score_%.0f\t1000\t+\t%d\t%d\t"
+                      "0,125,255\n" % (brk.chrom, brk.suspect_start,
+                                       brk.r_fill_end, di, rfill_global,
+                                       brk.r_fill_start, brk.r_fill_end))
 
         breaks_updated = False
         if removed:
@@ -694,9 +804,12 @@ class ChainCleaner:
             if allowed_parents is not None and key not in allowed_parents:
                 continue
             self._list_removal_seq = 0
+            total_num_iteration = 0  # per breaking chain (chainCleaner.c:1477)
             while True:  # overall iteration (singles then pairs)
                 # --- singles fixed point ---
                 while True:
+                    total_num_iteration += 1
+                    self._debug_info = "SINGLE_%d" % total_num_iteration
                     any_updated_single = False
                     i = 0
                     while i < len(break_list):
@@ -716,6 +829,8 @@ class ChainCleaner:
 
                 any_updated_pair = False
                 if self.do_pairs:
+                    total_num_iteration += 1
+                    self._debug_info = "PAIR_%d" % total_num_iteration
                     i = 0
                     while i < len(break_list) - 1:
                         up = break_list[i]
@@ -814,7 +929,13 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
                  linear_gap: str = "loose", score_scheme: str | None = None,
                  new_chain_id_dict_path: str | None = None,
                  scorer_factory=None, num_shards: int = 1, shard: int = 0,
-                 shard_out: str | None = None, **thresholds) -> None:
+                 shard_out: str | None = None,
+                 debug: bool = False,
+                 suspect_data_file: str | None = None,
+                 only_this_chr: str | None = None,
+                 only_this_start: int = -1,
+                 only_this_end: int = -1,
+                 **thresholds) -> None:
     """Full chainCleaner pipeline (chainCleaner.c main, 1678-1899).
 
     Console transcript mirrors the reference's numbered step banners
@@ -839,7 +960,10 @@ def clean_chains(in_chain: str, t_2bit: str, q_2bit: str,
             linear_gap=linear_gap, score_scheme=score_scheme,
             new_chain_id_dict_path=new_chain_id_dict_path,
             scorer_factory=scorer_factory, num_shards=num_shards,
-            shard=shard, shard_out=shard_out, **thresholds)
+            shard=shard, shard_out=shard_out, debug=debug,
+            suspect_data_file=suspect_data_file,
+            only_this_chr=only_this_chr, only_this_start=only_this_start,
+            only_this_end=only_this_end, **thresholds)
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -852,7 +976,13 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
                  linear_gap: str = "loose", score_scheme: str | None = None,
                  new_chain_id_dict_path: str | None = None,
                  scorer_factory=None, num_shards: int = 1, shard: int = 0,
-                 shard_out: str | None = None, **thresholds) -> None:
+                 shard_out: str | None = None,
+                 debug: bool = False,
+                 suspect_data_file: str | None = None,
+                 only_this_chr: str | None = None,
+                 only_this_start: int = -1,
+                 only_this_end: int = -1,
+                 **thresholds) -> None:
     from ..utils.verbose import print_mem, verbose, verbosity
 
     scheme = (read_score_scheme(score_scheme) if score_scheme
@@ -870,7 +1000,13 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     host_scorer = (scorer if factory is ChainScorer
                    else ChainScorer(scheme, gap_calc, t_genome, q_genome))
 
-    cleaner = ChainCleaner(scorer, host_scorer=host_scorer, **thresholds)
+    cleaner = ChainCleaner(scorer, host_scorer=host_scorer,
+                           only_this_chr=only_this_chr,
+                           only_this_start=only_this_start,
+                           only_this_end=only_this_end, **thresholds)
+    if only_this_chr is not None:
+        verbose(1, "ONLY %s %d %d\n"
+                % (only_this_chr, only_this_start, only_this_end))
     verbose(1, "Verbosity level: %d\n" % verbosity())
     verbose(1, "foldThreshold: %f    LRfoldThreshold: %f   "
                "maxSuspectBases: %d  maxSuspectScore: %d  "
@@ -980,7 +1116,13 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
 
     verbose(1, "2. reading breaking and broken chains from %s and write "
                "irrelevant chains to %s ...\n" % (in_chain, out_chain_path))
+    if debug:
+        # fixed CWD file names, as the reference (chainCleaner.c:592,
+        # 1818-1822)
+        cleaner.debug_out["interest"] = open("chainsOfInterest.chain", "w")
     passthrough = cleaner.split_chains(all_chains)
+    if debug:
+        cleaner.debug_out.pop("interest").close()
     verbose(1, "DONE\n\n")
     verbose(1, "3. reading target and query DNA sequences for breaking and "
                "broken chains ...\n")
@@ -988,6 +1130,17 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     verbose(1, "4. loop over all breaks. Remove suspects if they pass our "
                "filters and write out deleted suspects to %s ...\n"
             % out_bed_path)
+    if debug:
+        cleaner.debug_out.update(
+            suspect=open("suspect.chain", "w"),
+            lfill=open("brokenChainLfill.chain", "w"),
+            rfill=open("brokenChainRfill.chain", "w"),
+            fill=open("brokenChainfill.chain", "w"),
+            bed=open("suspectsAndFills.bed", "w"))
+    if suspect_data_file is not None:
+        cleaner.suspect_data_out = open(suspect_data_file, "w")
+        # -suspectDataFile forces doPairs off (chainCleaner.c:1830-1832)
+        cleaner.do_pairs = False
     allowed = None
     owned_ids: set[int] | None = None
     input_max_id = cleaner.max_chain_id  # before removals assign new ids
@@ -1001,6 +1154,13 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
             allowed.update(keys)
             owned_ids.update(cids)
     cleaner.loop_over_breaks(allowed)
+    if suspect_data_file is not None:
+        cleaner.suspect_data_out.close()
+        cleaner.suspect_data_out = None
+    if debug:
+        for f in cleaner.debug_out.values():
+            f.close()
+        cleaner.debug_out.clear()
     verbose(1, "DONE\n\n")
 
     if num_shards > 1:
@@ -1098,6 +1258,11 @@ def chain_cleaner_main(argv: list[str]) -> int:
         num_shards=int(opts.get("numShards", 1)),
         shard=int(opts.get("shard", 0)),
         shard_out=opts.get("shardOut"),
+        debug="debug" in opts,
+        suspect_data_file=opts.get("suspectDataFile"),
+        only_this_chr=opts.get("onlyThisChr"),
+        only_this_start=int(opts.get("onlyThisStart", -1)),
+        only_this_end=int(opts.get("onlyThisEnd", -1)),
         **thresholds)
     return 0
 

@@ -384,6 +384,38 @@ def main():
          f"-net={prenet}",
          "-linearGap=loose"])
 
+    # goldens for the debug/introspection surface (-debug writes fixed CWD
+    # file names, chainCleaner.c:1818-1822; -suspectDataFile suppresses
+    # removals, c:1282-1310; -onlyThis* restricts to one suspect region,
+    # c:999-1003); the -onlyThis region is the 2nd removed suspect above
+    dbgdir = os.path.join(GOLD, "chainCleaner.debug")
+    os.makedirs(dbgdir, exist_ok=True)
+    tmp_dbg = os.path.join(FIX, "_dbg_tmp")
+    os.makedirs(tmp_dbg, exist_ok=True)
+    subprocess.run(
+        [cc, sorted_chain, t2bit, q2bit,
+         os.path.join(tmp_dbg, "dbg.out.chain"),
+         os.path.join(tmp_dbg, "dbg.bed"),
+         f"-net={prenet}", "-linearGap=loose", "-debug"],
+        check=True, env=env, cwd=tmp_dbg, capture_output=True)
+    for name in ("chainsOfInterest.chain", "suspect.chain",
+                 "brokenChainLfill.chain", "brokenChainRfill.chain",
+                 "brokenChainfill.chain", "suspectsAndFills.bed"):
+        os.replace(os.path.join(tmp_dbg, name), os.path.join(dbgdir, name))
+    run([cc, sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "chainCleaner.suspectData.out.chain"),
+         os.path.join(tmp_dbg, "sd.bed"),
+         f"-net={prenet}", "-linearGap=loose",
+         "-suspectDataFile=" + os.path.join(GOLD,
+                                            "chainCleaner.suspectData.tsv")])
+    run([cc, sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "chainCleaner.onlyThis.out.chain"),
+         os.path.join(GOLD, "chainCleaner.onlyThis.bed"),
+         f"-net={prenet}", "-linearGap=loose", "-onlyThisChr=chrA",
+         "-onlyThisStart=382753", "-onlyThisEnd=383003"])
+    import shutil as _shutil
+    _shutil.rmtree(tmp_dbg)
+
     # ------------------------------------------------------------------
     # goldens for the stock kent tool suite
     # ------------------------------------------------------------------

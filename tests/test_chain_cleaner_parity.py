@@ -105,3 +105,57 @@ def test_chain_cleaner_sharded_merge_parity(fixtures_dir, golden_dir,
         merge_cleaner_shards(paths, str(out_chain), str(out_bed))
         assert out_chain.read_text() == golden_chain, f"n={n}"
         assert out_bed.read_text() == golden_bed, f"n={n}"
+
+
+def test_chain_cleaner_debug_flag(fixtures_dir, golden_dir, tmp_path,
+                                  monkeypatch):
+    """-debug writes chainsOfInterest/suspect/fill chain dumps and the
+    suspectsAndFills bed to fixed CWD names (chainCleaner.c:592,
+    1818-1822), byte-identical to the C binary, and leaves the main
+    outputs unchanged."""
+    monkeypatch.chdir(tmp_path)
+    chain, bed = _run_cleaner(
+        fixtures_dir, tmp_path,
+        net_file=os.path.join(fixtures_dir, "cleaner_input.net"),
+        debug=True)
+    assert chain == open(os.path.join(golden_dir,
+                                      "chainCleaner.out.chain")).read()
+    assert bed == open(os.path.join(
+        golden_dir, "chainCleaner.removedSuspects.bed")).read()
+    for name in ("chainsOfInterest.chain", "suspect.chain",
+                 "brokenChainLfill.chain", "brokenChainRfill.chain",
+                 "brokenChainfill.chain", "suspectsAndFills.bed"):
+        got = (tmp_path / name).read_text()
+        want = open(os.path.join(golden_dir, "chainCleaner.debug",
+                                 name)).read()
+        assert got == want, name
+
+
+def test_chain_cleaner_suspect_data_file(fixtures_dir, golden_dir, tmp_path):
+    """-suspectDataFile dumps every tested break's data and suppresses all
+    removals (chainCleaner.c:1282-1310, 1830-1832)."""
+    tsv = str(tmp_path / "suspectData.tsv")
+    chain, bed = _run_cleaner(
+        fixtures_dir, tmp_path,
+        net_file=os.path.join(fixtures_dir, "cleaner_input.net"),
+        suspect_data_file=tsv)
+    assert bed == ""  # nothing removed
+    assert open(tsv).read() == open(os.path.join(
+        golden_dir, "chainCleaner.suspectData.tsv")).read()
+    assert chain == open(os.path.join(
+        golden_dir, "chainCleaner.suspectData.out.chain")).read()
+
+
+def test_chain_cleaner_only_this(fixtures_dir, golden_dir, tmp_path):
+    """-onlyThisChr/-onlyThisStart/-onlyThisEnd restrict cleaning to one
+    suspect region; chains on other chroms are dropped entirely
+    (chainCleaner.c:600-601, 999-1003)."""
+    chain, bed = _run_cleaner(
+        fixtures_dir, tmp_path,
+        net_file=os.path.join(fixtures_dir, "cleaner_input.net"),
+        only_this_chr="chrA", only_this_start=382753,
+        only_this_end=383003)
+    assert bed == open(os.path.join(golden_dir,
+                                    "chainCleaner.onlyThis.bed")).read()
+    assert chain == open(os.path.join(
+        golden_dir, "chainCleaner.onlyThis.out.chain")).read()
