@@ -512,6 +512,34 @@ class ChainCleaner:
                 passthrough.append(chain)
         return passthrough
 
+    def split_table(self, table) -> "np.ndarray":
+        """readChainsOfInterest over a ChainTable: materialize python
+        Chain objects only for breaking/broken chains; return passthrough
+        row indices (their text is re-serialized straight from the SoA
+        columns, no objects)."""
+        ids = table.ids
+        if ids.shape[0]:
+            self.max_chain_id = max(self.max_chain_id, int(ids.max()))
+        sel = np.arange(len(table))
+        if self.only_this_chr is not None:
+            (t_fac_ids, t_fac_names), _ = table.names_factorized()
+            keep = np.array([nm == self.only_this_chr
+                             for nm in t_fac_names], bool)
+            sel = sel[keep[t_fac_ids[sel]]]
+        interest_ids = np.array(
+            [int(k) for k, _ in self.chain_of_interest.traverse_order()],
+            np.int64)
+        mask = np.isin(ids[sel], interest_ids)
+        interest_idx = sel[mask]
+        pass_idx = sel[~mask]
+        interest_f = self.debug_out.get("interest")
+        for i in interest_idx.tolist():
+            c = table.materialize(i)
+            self.chains[c.id] = c
+            if interest_f is not None:
+                interest_f.write(c.to_text())
+        return pass_idx
+
     # ------------------------------------------------------------------
     def _get_chain_score(self, chain: Chain) -> tuple[float, float]:
         """getChainScore: sets chain.score to global; returns (global, local)."""
@@ -1025,10 +1053,36 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
 
     # single input parse, shared by netting and chain splitting ('#' meta
     # lines collected in encounter order; the final sorted write puts them
-    # at the top, same as the reference's text pipeline ends up doing)
+    # at the top, same as the reference's text pipeline ends up doing).
+    # Fast path: the whole file stays in ChainTable SoA columns - python
+    # Chain objects exist only for the breaking/broken chains; everything
+    # else is netted, sorted and re-serialized straight from the columns.
     from ..formats.chain import read_chains as _read_chain_file
+    from ..native.chain_io import (concat_tables, parse_chain_table,
+                                   soa_from_chains)
     meta_lines: list[str] = []
-    all_chains = _read_chain_file(in_chain, meta_out=meta_lines.append)
+    table = None
+    all_chains = None
+    try:
+        if in_chain.endswith(".gz"):
+            import gzip as _gz
+            with _gz.open(in_chain, "rb") as fh:
+                _data = fh.read()
+        else:
+            with open(in_chain, "rb") as fh:
+                _data = fh.read()
+        table = parse_chain_table(_data)
+    except OSError:
+        _data = None
+    if table is not None:
+        # '#' meta lines are rare; scan only when one can exist
+        if _data.startswith(b"#") or b"\n#" in _data:
+            for bline in _data.split(b"\n"):
+                if bline.startswith(b"#"):
+                    meta_lines.append(bline.decode())
+    else:
+        all_chains = _read_chain_file(in_chain, meta_out=meta_lines.append)
+    del _data
 
     # overlap genome decode (+ '-'-strand revcomp) with the netting /
     # filtering stages: the scorers only touch sequences once breaks are
@@ -1038,6 +1092,19 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
 
     def _prefetch_codes():
         try:
+            if table is not None:
+                (t_ids, t_names_u), (q_ids, q_names_u) = \
+                    table.names_factorized()
+                for nm in t_names_u:
+                    t_genome.codes(nm, "+")
+                minus = table.strands == ord("-")
+                for j, nm in enumerate(q_names_u):
+                    m = q_ids == j
+                    if (m & ~minus).any():
+                        q_genome.codes(nm, "+")
+                    if (m & minus).any():
+                        q_genome.codes(nm, "-")
+                return
             seen_t, seen_q = set(), set()
             for c in all_chains:
                 if c.t_name not in seen_t:
@@ -1068,8 +1135,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
             t_net_b = io.BytesIO()
             # q-side net goes to /dev/null in the reference
             # (chainCleaner.c:1660) - skip formatting it entirely
-            chain_net(all_chains, t_sizes, q_sizes, t_net_b, None,
-                      min_score=0)
+            chain_net(table if table is not None else all_chains,
+                      t_sizes, q_sizes, t_net_b, None, min_score=0)
             net_bytes = t_net_b.getvalue()
             from .net_filter_nonnested import filter_net_bytes
             mv = filter_net_bytes(net_bytes, min_score1=3000)
@@ -1082,7 +1149,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
                 net_text = filtered.getvalue().encode()
         else:
             t_net = io.StringIO()
-            chain_net(all_chains, t_sizes, q_sizes, t_net, None, min_score=0)
+            chain_net(table if table is not None else all_chains,
+                      t_sizes, q_sizes, t_net, None, min_score=0)
             filtered = io.StringIO()
             net_filter_non_nested(t_net.getvalue().splitlines(), filtered,
                                   min_score1=3000)
@@ -1120,7 +1188,11 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
         # fixed CWD file names, as the reference (chainCleaner.c:592,
         # 1818-1822)
         cleaner.debug_out["interest"] = open("chainsOfInterest.chain", "w")
-    passthrough = cleaner.split_chains(all_chains)
+    if table is not None:
+        pass_idx = cleaner.split_table(table)
+        passthrough = None
+    else:
+        passthrough = cleaner.split_chains(all_chains)
     if debug:
         cleaner.debug_out.pop("interest").close()
     verbose(1, "DONE\n\n")
@@ -1175,10 +1247,14 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
             "interest": cleaner.interest_for_shard(owned_ids),
         }
         if shard == 0:
-            from ..formats.chain import write_chains as _wc
-            buf = io.StringIO()
-            _wc(passthrough, buf)
-            bundle["passthrough"] = buf.getvalue()
+            if table is not None:
+                bundle["passthrough"] = bytes(
+                    table.serialize(pass_idx)).decode()
+            else:
+                from ..formats.chain import write_chains as _wc
+                buf = io.StringIO()
+                _wc(passthrough, buf)
+                bundle["passthrough"] = buf.getvalue()
             bundle["meta"] = meta_lines
         with open(shard_out or out_chain_path, "w") as f:
             json.dump(bundle, f)
@@ -1189,8 +1265,7 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     # pre-sort order = pass-through (input order), suspects (removal
     # order), chains of interest (hashTraverseEls order) - exactly the
     # reference's unsorted temp-file order before chainSort
-    out_list = (passthrough + cleaner.suspect_chains
-                + cleaner.chains_of_interest_for_output())
+    extra = cleaner.suspect_chains + cleaner.chains_of_interest_for_output()
     verbose(1, "DONE\n\n")
 
     with open(out_bed_path, "w") as f:
@@ -1202,11 +1277,29 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
 
     # chainSort (score desc, stable)
     verbose(1, "6. chainSort %s ...\n" % out_chain_path)
-    from ..formats.chain import sort_chains_by_score, write_chains
-    with open(out_chain_path, "w") as outf:
-        for line in meta_lines:
-            outf.write(line + "\n")
-        write_chains(sort_chains_by_score(out_list), outf)
+    if table is not None:
+        # serialize straight from the SoA columns in chainSort order:
+        # passthrough rows come from the input table (never touched),
+        # suspects + rescored interest chains are appended as extra rows
+        extra_tab = soa_from_chains(extra)
+        ctab = concat_tables([table, extra_tab])
+        cand = np.concatenate([
+            pass_idx.astype(np.int64),
+            len(table) + np.arange(len(extra), dtype=np.int64)])
+        cand_scores = np.concatenate([table.scores[pass_idx],
+                                      extra_tab.scores])
+        order = cand[np.argsort(-cand_scores, kind="stable")]
+        blob = ctab.serialize(order)
+        with open(out_chain_path, "wb") as outf:
+            for line in meta_lines:
+                outf.write(line.encode() + b"\n")
+            outf.write(blob)
+    else:
+        from ..formats.chain import sort_chains_by_score, write_chains
+        with open(out_chain_path, "w") as outf:
+            for line in meta_lines:
+                outf.write(line + "\n")
+            write_chains(sort_chains_by_score(passthrough + extra), outf)
     verbose(1, "DONE\n\n")
     print_mem()
     verbose(1, "\nALL DONE. New chains are in %s. Deleted suspects in %s\n"

@@ -582,6 +582,172 @@ class NativeNetTree:
         out.write("".join(parts))
 
 
+class LazyChains:
+    """Sequence facade over a ChainTable (+ row subset): materializes
+    python Chain objects only for the rows actually touched."""
+
+    __slots__ = ("table", "sel", "_cache")
+
+    def __init__(self, table, sel):
+        self.table = table
+        self.sel = sel
+        self._cache: dict[int, Chain] = {}
+
+    def __len__(self):
+        return int(self.sel.shape[0])
+
+    def __getitem__(self, i: int) -> Chain:
+        c = self._cache.get(i)
+        if c is None:
+            c = self._cache[i] = self.table.materialize(int(self.sel[i]))
+        return c
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def _gather_blocks(table, sel):
+    """(blocks, block_off) for the selected rows (vectorized gather)."""
+    bo = table.block_offsets
+    cnt = bo[sel + 1] - bo[sel]
+    block_off = np.zeros(sel.shape[0] + 1, np.int64)
+    np.cumsum(cnt, out=block_off[1:])
+    if sel.shape[0] == len(table) and np.array_equal(sel,
+                                                     np.arange(len(table))):
+        return np.ascontiguousarray(table.blocks), bo.copy()
+    total = int(block_off[-1])
+    if total == 0:
+        return np.zeros((0, 4), np.int64), block_off
+    # standard segmented gather: positions = repeat(starts - prefix) + arange
+    pos = np.repeat(bo[sel] - block_off[:-1], cnt) + np.arange(total)
+    return np.ascontiguousarray(table.blocks[pos]), block_off
+
+
+def _native_net_tree_table(table, sel, t_sizes: dict, q_sizes: dict,
+                           min_space: int, min_fill: int | None,
+                           min_score: float,
+                           incl_hap: bool,
+                           sides: int = 3) -> "NativeNetTree | None":
+    """_native_net_tree over a ChainTable + row selection: all array prep
+    is vectorized; python Chain objects are only materialized lazily for
+    rows a caller actually touches (rescore fills / fallback writer)."""
+    import ctypes
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    (t_fac_ids, t_fac_names), (q_fac_ids, q_fac_names) = \
+        table.names_factorized()
+    t_names = list(t_sizes)
+    q_names = list(q_sizes)
+    t_idx = {n: i for i, n in enumerate(t_names)}
+    q_idx = {n: i for i, n in enumerate(q_names)}
+    # per-unique-name validation (mirrors the per-chain checks of the
+    # object path; same error messages)
+    t_map = np.empty(len(t_fac_names), np.int32)
+    for j, nm in enumerate(t_fac_names):
+        if nm not in t_idx:
+            if np.isin(np.flatnonzero(t_fac_ids == j), sel).any():
+                raise KeyError(f"{nm} not in target sizes")
+            t_map[j] = -1
+            continue
+        t_map[j] = t_idx[nm]
+    q_map = np.empty(len(q_fac_names), np.int32)
+    hap = np.zeros(len(q_fac_names), bool)
+    for j, nm in enumerate(q_fac_names):
+        hap[j] = "_hap" in nm or "_alt" in nm
+        if nm not in q_idx:
+            if np.isin(np.flatnonzero(q_fac_ids == j), sel).any():
+                raise KeyError(f"{nm} not in query sizes")
+            q_map[j] = -1
+            continue
+        q_map[j] = q_idx[nm]
+    # size mismatch checks (vectorized over selected rows)
+    t_sz_arr = np.array([t_sizes.get(nm, -1) for nm in t_fac_names],
+                        np.int64)
+    q_sz_arr = np.array([q_sizes.get(nm, -1) for nm in q_fac_names],
+                        np.int64)
+    h = table.header
+    bad_q = sel[q_sz_arr[q_fac_ids[sel]] != h[sel, 3]]
+    if bad_q.size:
+        i = int(bad_q[0])
+        nm = q_fac_names[q_fac_ids[i]]
+        raise ValueError(f"{nm} size mismatch: "
+                         f"{int(h[i, 3])} vs {q_sizes[nm]}")
+    bad_t = sel[t_sz_arr[t_fac_ids[sel]] != h[sel, 0]]
+    if bad_t.size:
+        i = int(bad_t[0])
+        nm = t_fac_names[t_fac_ids[i]]
+        raise ValueError(f"{nm} size mismatch: "
+                         f"{int(h[i, 0])} vs {t_sizes[nm]}")
+    if not incl_hap:
+        sel = sel[~hap[q_fac_ids[sel]]]
+
+    n = int(sel.shape[0])
+    t_ci = np.ascontiguousarray(t_map[t_fac_ids[sel]], np.int32)
+    q_ci = np.ascontiguousarray(q_map[q_fac_ids[sel]], np.int32)
+    minus = np.ascontiguousarray(table.strands[sel] == ord("-"), np.uint8)
+    t_bounds = np.ascontiguousarray(h[sel][:, 1:3], np.int64)
+    blocks, block_off = _gather_blocks(table, sel)
+    t_sz = np.array([t_sizes[nm] for nm in t_names], np.int64)
+    q_sz = np.array([q_sizes[nm] for nm in q_names], np.int64)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    res_p = lib.gat_net_sweep_sides(
+        n, t_ci.ctypes.data_as(i32p), q_ci.ctypes.data_as(i32p),
+        minus.ctypes.data_as(u8p),
+        t_bounds.ctypes.data_as(i64p),
+        block_off.ctypes.data_as(i64p), blocks.ctypes.data_as(i64p),
+        len(t_names), t_sz.ctypes.data_as(i64p),
+        len(q_names), q_sz.ctypes.data_as(i64p),
+        min_space, min_space // 2 if min_fill is None else min_fill,
+        sides)
+    try:
+        res = res_p.contents
+        err = bytes(res.error).split(b"\0")[0]
+        if err:
+            raise AssertionError(err.decode())
+
+        def grab(ptr, count, width):
+            if count == 0:
+                return np.zeros((0, width), np.int64)
+            return np.ctypeslib.as_array(ptr, shape=(count, width)).copy()
+
+        nodes_t = grab(res.t_nodes, res.t_n_nodes, 7)
+        segs_t = grab(res.t_chrom_seg, res.t_n_chroms, 3)
+        nodes_q = grab(res.q_nodes, res.q_n_nodes, 7)
+        segs_q = grab(res.q_chrom_seg, res.q_n_chroms, 3)
+    finally:
+        lib.gat_net_free(res_p)
+    nt = NativeNetTree(LazyChains(table, sel), t_names,
+                       [t_sizes[nm] for nm in t_names],
+                       q_names, [q_sizes[nm] for nm in q_names],
+                       nodes_t, segs_t, nodes_q, segs_q,
+                       min_space, min_fill, min_score,
+                       blocks=blocks, block_off=block_off)
+    # feed the writer's per-chain arrays straight from the table
+    headers = np.ascontiguousarray(h[sel][:, [1, 2, 4, 5, 3]], np.int64)
+    strands = np.ascontiguousarray(table.strands[sel])
+    ids = np.ascontiguousarray(h[sel, 6], np.int64)
+    scores = np.ascontiguousarray(table.scores[sel], np.float64)
+    nt._headers = (headers, strands, ids, scores)
+    # other-side name blob (q names for the t-side writer and vice versa)
+    for attr, fac_ids, fac_names in (("_onames_t", q_fac_ids, q_fac_names),
+                                     ("_onames_q", t_fac_ids, t_fac_names)):
+        name_bytes = [nm.encode() for nm in fac_names]
+        lens = np.array([len(b) for b in name_bytes], np.int64)
+        row_ids = fac_ids[sel]
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens[row_ids], out=off[1:])
+        blob = b"".join([name_bytes[j] for j in row_ids])
+        setattr(nt, attr, (blob, off))
+    return nt
+
+
 def _native_net_tree(chains, t_sizes: dict, q_sizes: dict, min_space: int,
                      min_fill: int | None, min_score: float,
                      incl_hap: bool) -> "NativeNetTree | None":
@@ -702,21 +868,59 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
     t_sizes = read_chrom_sizes(t_sizes_file)
     q_sizes = read_chrom_sizes(q_sizes_file)
     from ..formats.chain import read_chains
-    if isinstance(chain_file, list):  # pre-parsed (chainCleaner shares)
+    from ..native.chain_io import ChainTable
+    table = None
+    if isinstance(chain_file, ChainTable):  # SoA path (chainCleaner shares)
+        table = chain_file
+    elif isinstance(chain_file, list):  # pre-parsed (chainCleaner shares)
         all_chains = chain_file
     elif isinstance(chain_file, str):
-        all_chains = read_chains(chain_file)
+        from ..native.chain_io import parse_chain_table
+        try:
+            if chain_file.endswith(".gz"):
+                import gzip as _gz
+                with _gz.open(chain_file, "rb") as fh:
+                    _data = fh.read()
+            else:
+                with open(chain_file, "rb") as fh:
+                    _data = fh.read()
+            table = parse_chain_table(_data)
+            del _data
+        except OSError:
+            table = None
+        if table is None:
+            all_chains = read_chains(chain_file)
     else:
         all_chains = list(iter_chains(chain_file))
-    last_score = -1.0
-    kept: list[Chain] = []
-    for chain in all_chains:
-        if last_score >= 0 and chain.score > last_score:
+    if table is not None:
+        scores = table.scores
+        if scores.shape[0] and np.any(np.diff(scores) > 0):
             raise ValueError("input chains must be sorted in order of score")
-        last_score = chain.score
-        if chain.score < min_score:
-            break
-        kept.append(chain)
+        below = np.flatnonzero(scores < min_score)
+        cutoff = int(below[0]) if below.size else scores.shape[0]
+        kept_sel = np.arange(cutoff)
+
+        def build_netter_table(sel, sides=3):
+            nt = _native_net_tree_table(
+                table, sel, t_sizes, q_sizes, min_space=min_space,
+                min_fill=min_fill, min_score=min_score, incl_hap=incl_hap,
+                sides=sides)
+            if nt is None:
+                return build_netter([table.materialize(int(i))
+                                     for i in sel])
+            return nt
+    else:
+        last_score = -1.0
+        kept: list[Chain] = []
+        for chain in all_chains:
+            if last_score >= 0 and chain.score > last_score:
+                raise ValueError(
+                    "input chains must be sorted in order of score")
+            last_score = chain.score
+            if chain.score < min_score:
+                break
+            kept.append(chain)
+
     def build_netter(chains):
         nt = _native_net_tree(chains, t_sizes, q_sizes, min_space=min_space,
                               min_fill=min_fill, min_score=min_score,
@@ -741,9 +945,25 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
         q_idx = shard_indices(len(q_names), num_shards, shard)
         my_t = set(t_names[t_idx.start:t_idx.stop])
         my_q = set(q_names[q_idx.start:q_idx.stop])
-        netter = build_netter([c for c in kept if c.t_name in my_t])
-        if q_net_out is not None:
-            q_netter = build_netter([c for c in kept if c.q_name in my_q])
+        if table is not None:
+            (t_fac_ids, t_fac_names), (q_fac_ids, q_fac_names) = \
+                table.names_factorized()
+            t_in = np.array([nm in my_t for nm in t_fac_names], bool)
+            q_in = np.array([nm in my_q for nm in q_fac_names], bool)
+            netter = build_netter_table(kept_sel[t_in[t_fac_ids[kept_sel]]],
+                                        sides=1)
+            if q_net_out is not None:
+                q_netter = build_netter_table(
+                    kept_sel[q_in[q_fac_ids[kept_sel]]], sides=2)
+        else:
+            netter = build_netter([c for c in kept if c.t_name in my_t])
+            if q_net_out is not None:
+                q_netter = build_netter(
+                    [c for c in kept if c.q_name in my_q])
+    elif table is not None:
+        netter = build_netter_table(
+            kept_sel, sides=3 if q_net_out is not None else 1)
+        q_netter = netter
     else:
         netter = build_netter(kept)
         q_netter = netter

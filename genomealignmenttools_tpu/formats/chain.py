@@ -131,10 +131,13 @@ class Chain:
         if sub_start <= self.t_start and sub_end >= self.t_end:
             return self
         b = self.blocks
-        keep = (b[:, 1] > sub_start) & (b[:, 0] < sub_end)
-        if not keep.any():
+        # blocks are strictly increasing in t, so the kept set
+        # (tEnd > sub_start and tStart < sub_end) is one contiguous range
+        lo = int(np.searchsorted(b[:, 1], sub_start, side="right"))
+        hi = int(np.searchsorted(b[:, 0], sub_end, side="left"))
+        if lo >= hi:
             return None
-        nb = b[keep].copy()
+        nb = b[lo:hi].copy()
         # clip first/last blocks
         lo_clip = sub_start - nb[:, 0]
         lo_clip = np.maximum(lo_clip, 0)

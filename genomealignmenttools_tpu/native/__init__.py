@@ -64,6 +64,11 @@ def get_lib():
             ("n_blocks", ctypes.c_int64),
             ("block_offsets", ctypes.POINTER(ctypes.c_int64)),
             ("blocks", ctypes.POINTER(ctypes.c_int64)),
+            ("t_name_ids", ctypes.POINTER(ctypes.c_int32)),
+            ("q_name_ids", ctypes.POINTER(ctypes.c_int32)),
+            ("n_uniq_names", ctypes.c_int64),
+            ("uniq_name_off", ctypes.POINTER(ctypes.c_int64)),
+            ("uniq_name_blob", ctypes.c_char_p),
             ("error", ctypes.c_char * 256),
         ]
 
@@ -78,6 +83,15 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.gat_chain_serialize_ord.restype = ctypes.POINTER(ctypes.c_char)
+    lib.gat_chain_serialize_ord.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
     ]
     lib.gat_free_buffer.argtypes = [ctypes.POINTER(ctypes.c_char)]
     lib.gat_pack_pairs.restype = None
@@ -177,6 +191,9 @@ def get_lib():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.gat_net_sweep_sides.restype = ctypes.POINTER(GatNetResult)
+    lib.gat_net_sweep_sides.argtypes = \
+        lib.gat_net_sweep.argtypes + [ctypes.c_int64]
     lib.gat_net_free.argtypes = [ctypes.POINTER(GatNetResult)]
 
     class GatNetScan(ctypes.Structure):

@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -30,6 +31,14 @@ struct ChainArrays {
     int64_t n_blocks;
     int64_t* block_offsets; // n+1: chain i owns blocks [off[i], off[i+1])
     int64_t* blocks;        // [tStart,tEnd,qStart,qEnd] x n_blocks
+    // factorized names: per-chain indices into a deduplicated name table
+    // (chain files repeat a handful of chrom names; downstream SoA paths
+    // need the factorization anyway, so it is built during the parse)
+    int32_t* t_name_ids;    // n
+    int32_t* q_name_ids;    // n
+    int64_t n_uniq_names;
+    int64_t* uniq_name_off; // n_uniq+1 offsets into uniq_name_blob
+    char* uniq_name_blob;
     // error reporting
     char error[256];
 };
@@ -48,6 +57,18 @@ ChainArrays* gat_chain_parse(const char* buf, int64_t len) {
     std::string name_blob;
     std::vector<int64_t> block_offsets;
     std::vector<int64_t> blocks;
+    std::vector<int32_t> t_name_ids, q_name_ids;
+    std::unordered_map<std::string, int32_t> name_id;
+    std::vector<std::string> uniq_names;
+    auto intern = [&](const char* s, size_t n) -> int32_t {
+        std::string key(s, n);
+        auto it = name_id.find(key);
+        if (it != name_id.end()) return it->second;
+        int32_t id = (int32_t)uniq_names.size();
+        name_id.emplace(std::move(key), id);
+        uniq_names.push_back(std::string(s, n));
+        return id;
+    };
     block_offsets.push_back(0);
 
     const char* p = buf;
@@ -99,6 +120,7 @@ ChainArrays* gat_chain_parse(const char* buf, int64_t len) {
             while (s < eol && *s != ' ' && *s != '\t') s++;
             name_offsets.push_back((int64_t)name_blob.size());
             name_blob.append(tn, s - tn);
+            t_name_ids.push_back(intern(tn, s - tn));
             int64_t t_size, t_start, t_end, q_size, q_start, q_end, cid = 0;
             if (!parse_int(s, t_size)) { set_error(out, "bad tSize", line_no); return out; }
             // tStrand
@@ -114,6 +136,7 @@ ChainArrays* gat_chain_parse(const char* buf, int64_t len) {
             while (s < eol && *s != ' ' && *s != '\t') s++;
             name_offsets.push_back((int64_t)name_blob.size());
             name_blob.append(qn, s - qn);
+            q_name_ids.push_back(intern(qn, s - qn));
             if (!parse_int(s, q_size)) { set_error(out, "bad qSize", line_no); return out; }
             skip_ws(s);
             if (s >= eol || (*s != '+' && *s != '-')) {
@@ -181,10 +204,29 @@ ChainArrays* gat_chain_parse(const char* buf, int64_t len) {
     COPY(name_offsets, name_offsets, int64_t);
     COPY(block_offsets, block_offsets, int64_t);
     COPY(blocks, blocks, int64_t);
+    COPY(t_name_ids, t_name_ids, int32_t);
+    COPY(q_name_ids, q_name_ids, int32_t);
 #undef COPY
     out->name_blob = (char*)malloc(name_blob.size() + 1);
     memcpy(out->name_blob, name_blob.data(), name_blob.size());
     out->name_blob[name_blob.size()] = 0;
+    out->n_uniq_names = (int64_t)uniq_names.size();
+    out->uniq_name_off =
+        (int64_t*)malloc(sizeof(int64_t) * (uniq_names.size() + 1));
+    size_t ub = 0;
+    for (size_t i = 0; i < uniq_names.size(); ++i) {
+        out->uniq_name_off[i] = (int64_t)ub;
+        ub += uniq_names[i].size();
+    }
+    out->uniq_name_off[uniq_names.size()] = (int64_t)ub;
+    out->uniq_name_blob = (char*)malloc(ub + 1);
+    ub = 0;
+    for (size_t i = 0; i < uniq_names.size(); ++i) {
+        memcpy(out->uniq_name_blob + ub, uniq_names[i].data(),
+               uniq_names[i].size());
+        ub += uniq_names[i].size();
+    }
+    out->uniq_name_blob[ub] = 0;
     return out;
 }
 
@@ -197,6 +239,10 @@ void gat_chain_free(ChainArrays* a) {
     free(a->name_blob);
     free(a->block_offsets);
     free(a->blocks);
+    free(a->t_name_ids);
+    free(a->q_name_ids);
+    free(a->uniq_name_off);
+    free(a->uniq_name_blob);
     free(a);
 }
 
@@ -227,16 +273,20 @@ static inline void put_ch(Buffer* b, char c) {
     b->data[b->len++] = c;
 }
 
-char* gat_chain_serialize(
+// order: optional permutation (length n_chains) giving the emit order of
+// chain records (chainSort without materializing python objects); NULL =
+// input order.
+char* gat_chain_serialize_ord(
     int64_t n_chains, const double* scores, const int64_t* header_nums,
     const uint8_t* q_strands, const int64_t* name_offsets,
     const char* name_blob, const int64_t* block_offsets,
-    const int64_t* blocks, int64_t* out_len) {
+    const int64_t* blocks, const int64_t* order, int64_t* out_len) {
     Buffer b;
     b.cap = 1 << 20;
     b.len = 0;
     b.data = (char*)malloc(b.cap);
-    for (int64_t i = 0; i < n_chains; ++i) {
+    for (int64_t k = 0; k < n_chains; ++k) {
+        int64_t i = order ? order[k] : k;
         const int64_t* h = header_nums + i * 7;
         char head[512];
         int64_t tn_off = name_offsets[2 * i], tn_end = name_offsets[2 * i + 1];
@@ -269,6 +319,16 @@ char* gat_chain_serialize(
     }
     *out_len = b.len;
     return b.data;
+}
+
+char* gat_chain_serialize(
+    int64_t n_chains, const double* scores, const int64_t* header_nums,
+    const uint8_t* q_strands, const int64_t* name_offsets,
+    const char* name_blob, const int64_t* block_offsets,
+    const int64_t* blocks, int64_t* out_len) {
+    return gat_chain_serialize_ord(n_chains, scores, header_nums, q_strands,
+                                   name_offsets, name_blob, block_offsets,
+                                   blocks, nullptr, out_len);
 }
 
 void gat_free_buffer(char* p) { free(p); }

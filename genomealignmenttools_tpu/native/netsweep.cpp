@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <set>
 #include <vector>
 
@@ -337,12 +338,18 @@ struct GatNetResult {
   void *state;
 };
 
-GatNetResult *gat_net_sweep(
+// sides: bit0 = build/emit the target side, bit1 = the query side.  The
+// chainCleaner internal netting pipes the q net to /dev/null
+// (chainCleaner.c:1660), so it asks for the t side only - half the sweep.
+// When both sides are wanted they are built on two threads (the two Side
+// trees are fully independent; chain views are read-only).
+GatNetResult *gat_net_sweep_sides(
     int64_t n_chains, const int32_t *t_chrom_idx, const int32_t *q_chrom_idx,
     const uint8_t *q_minus, const int64_t *t_bounds /* (n,2) tStart tEnd */,
     const int64_t *block_off /* n+1 */, const int64_t *blocks /* (N,4) */,
     int64_t n_t_chroms, const int64_t *t_sizes, int64_t n_q_chroms,
-    const int64_t *q_sizes, int64_t min_space, int64_t min_fill) {
+    const int64_t *q_sizes, int64_t min_space, int64_t min_fill,
+    int64_t sides) {
   auto *res = new GatNetResult();
   std::memset(res->error, 0, sizeof(res->error));
   auto *st = new SweepState();
@@ -355,39 +362,58 @@ GatNetResult *gat_net_sweep(
                        t_bounds[i * 2], t_bounds[i * 2 + 1],
                        q_sizes[q_chrom_idx[i]], q_minus[i] != 0, (int32_t)i};
   }
-  init_side(st->t_side, t_sizes, n_t_chroms);
-  init_side(st->q_side, q_sizes, n_q_chroms);
+  bool want_t = (sides & 1) != 0, want_q = (sides & 2) != 0;
+  if (want_t) init_side(st->t_side, t_sizes, n_t_chroms);
+  if (want_q) init_side(st->q_side, q_sizes, n_q_chroms);
 
-  std::vector<Space> scratch;
-  std::vector<int64_t> flip;
-  for (int64_t i = 0; i < n_chains; i++) {
-    // addChain: query side first, then target (chainNet.c:681-686)
-    add_chain_q(st->q_side, q_chrom_idx[i], cvs[i], min_space, min_fill,
-                scratch, flip);
-    add_chain_t(st->t_side, t_chrom_idx[i], cvs[i], min_space, min_fill,
-                scratch);
-  }
-
-  for (int pass = 0; pass < 2; pass++) {
-    Side &side = pass ? st->t_side : st->q_side;
-    Emit &em = pass ? st->t_emit : st->q_emit;
-    bool is_q = pass == 0;
+  char side_err[2][256] = {{0}, {0}};
+  auto run_side = [&](bool is_q) {
+    Side &side = is_q ? st->q_side : st->t_side;
+    Emit &em = is_q ? st->q_emit : st->t_emit;
+    const int32_t *chrom_idx = is_q ? q_chrom_idx : t_chrom_idx;
+    std::vector<Space> scratch;
+    std::vector<int64_t> flip;
+    for (int64_t i = 0; i < n_chains; i++) {
+      // addChain: query side first, then target (chainNet.c:681-686);
+      // the two Side trees never interact, so per-side order is all that
+      // matters for parity
+      if (is_q)
+        add_chain_q(side, chrom_idx[i], cvs[i], min_space, min_fill,
+                    scratch, flip);
+      else
+        add_chain_t(side, chrom_idx[i], cvs[i], min_space, min_fill,
+                    scratch);
+    }
     int64_t n_chroms = (int64_t)side.roots.size();
     for (int64_t c = 0; c < n_chroms; c++) {
       int32_t root = side.roots[c];
       if (side.gaps[root].fills.empty()) continue;
       sort_tree(side, root);
       if (!calc_other(side, root, cvs, is_q)) {
-        std::snprintf(res->error, sizeof(res->error),
+        std::snprintf(side_err[is_q ? 1 : 0], 256,
                       "%sFillOtherRange: no overlapping blocks",
                       is_q ? "q" : "t");
-        return res;
+        return;
       }
       int64_t lo = (int64_t)em.nodes.size() / 7;
       for (int32_t fi : side.gaps[root].fills) emit_fill(side, fi, 1, em);
       int64_t hi = (int64_t)em.nodes.size() / 7;
       em.chrom_seg.insert(em.chrom_seg.end(), {c, lo, hi});
     }
+  };
+  if (want_t && want_q) {
+    std::thread tq([&] { run_side(true); });
+    run_side(false);
+    tq.join();
+  } else if (want_t) {
+    run_side(false);
+  } else if (want_q) {
+    run_side(true);
+  }
+  if (side_err[0][0] || side_err[1][0]) {
+    std::snprintf(res->error, sizeof(res->error), "%s",
+                  side_err[0][0] ? side_err[0] : side_err[1]);
+    return res;
   }
 
   res->t_n_nodes = (int64_t)st->t_emit.nodes.size() / 7;
@@ -399,6 +425,17 @@ GatNetResult *gat_net_sweep(
   res->q_n_chroms = (int64_t)st->q_emit.chrom_seg.size() / 3;
   res->q_chrom_seg = st->q_emit.chrom_seg.data();
   return res;
+}
+
+GatNetResult *gat_net_sweep(
+    int64_t n_chains, const int32_t *t_chrom_idx, const int32_t *q_chrom_idx,
+    const uint8_t *q_minus, const int64_t *t_bounds,
+    const int64_t *block_off, const int64_t *blocks,
+    int64_t n_t_chroms, const int64_t *t_sizes, int64_t n_q_chroms,
+    const int64_t *q_sizes, int64_t min_space, int64_t min_fill) {
+  return gat_net_sweep_sides(n_chains, t_chrom_idx, q_chrom_idx, q_minus,
+                             t_bounds, block_off, blocks, n_t_chroms, t_sizes,
+                             n_q_chroms, q_sizes, min_space, min_fill, 3);
 }
 
 void gat_net_free(GatNetResult *res) {
