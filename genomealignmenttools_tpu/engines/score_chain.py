@@ -54,24 +54,86 @@ def score_chain_file(
     scorer = factory(scheme, gap_calc, t_genome, q_genome)
 
     from ..utils.profiling import phase
+    table = None
     with phase("read chains"):
         if isinstance(in_chain, str):
-            from ..formats.chain import read_chains
-            chains = read_chains(in_chain)  # native codec
+            # SoA fast path: score + rewrite the whole file from ChainTable
+            # columns, no python Chain objects
+            from ..native.chain_io import parse_chain_table
+            try:
+                if in_chain.endswith(".gz"):
+                    import gzip as _gz
+                    with _gz.open(in_chain, "rb") as fh:
+                        _data = fh.read()
+                else:
+                    with open(in_chain, "rb") as fh:
+                        _data = fh.read()
+                table = parse_chain_table(_data)
+                del _data
+            except OSError:
+                table = None
+            if table is None:
+                from ..formats.chain import read_chains
+                chains = read_chains(in_chain)  # native codec
         else:
             chains = list(iter_chains(in_chain))
     if num_shards > 1:
         from ..parallel.distributed import shard_indices
-        idx = shard_indices(len(chains), num_shards, shard)
-        chains = chains[idx.start:idx.stop]
-    with phase("score chains"):
-        if hasattr(scorer, "score_chains"):
-            scored = scorer.score_chains(chains)
+        if table is not None:
+            idx = shard_indices(len(table), num_shards, shard)
+            table = table.row_slice(idx.start, idx.stop)
         else:
-            scored = [scorer.global_and_local(c) for c in chains]
+            idx = shard_indices(len(chains), num_shards, shard)
+            chains = chains[idx.start:idx.stop]
+    res = None
+    with phase("score chains"):
+        if table is not None and hasattr(scorer, "score_table"):
+            res = scorer.score_table(table)  # (n,3) or None
+        if table is not None and res is None:
+            chains = [table.materialize(i) for i in range(len(table))]
+            table = None
+        if table is None:
+            if hasattr(scorer, "score_chains"):
+                scored = scorer.score_chains(chains)
+            else:
+                scored = [scorer.global_and_local(c) for c in chains]
 
     out = sys.stdout if out_path == "stdout" else open(out_path, "w")
     try:
+        if table is not None:
+            import numpy as np
+            g, loc, ali = res[:, 0], res[:, 1], res[:, 2]
+            if return_only_score or return_only_score_and_coords:
+                ids = table.ids
+                h = table.header
+                parts = []
+                for i in range(len(table)):
+                    if return_only_score:
+                        parts.append(
+                            f"{int(ids[i])}\t{format_score(g[i])}\t"
+                            f"{format_score(loc[i])}\t{int(ali[i])}\n")
+                    else:
+                        parts.append(
+                            f"{int(ids[i])}\t{int(h[i, 1])}\t{int(h[i, 2])}"
+                            f"\t{format_score(g[i])}\t{format_score(loc[i])}"
+                            f"\t{int(ali[i])}\n")
+                out.write("".join(parts))
+            else:
+                if force_local_score:
+                    table.scores = loc.copy()
+                else:
+                    scores = g.copy()
+                    if do_local_score:
+                        scores = np.where(g <= 0, loc, g)
+                    table.scores = scores
+                mv = table.serialize()
+                buf = getattr(out, "buffer", None)
+                if buf is not None:
+                    out.flush()
+                    buf.write(mv)
+                else:
+                    out.write(bytes(mv).decode())
+            return
         for chain, (global_score, local_score, ali_bases) in zip(chains,
                                                                  scored):
             if force_local_score:

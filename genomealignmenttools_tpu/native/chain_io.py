@@ -140,6 +140,23 @@ class ChainTable:
                               self.name_offsets, self.name_blob,
                               self.block_offsets, self.blocks, order)
 
+    def row_slice(self, lo: int, hi: int) -> "ChainTable":
+        """Contiguous row range [lo, hi) as a new table (views where
+        possible)."""
+        blo, bhi = int(self.block_offsets[lo]), int(self.block_offsets[hi])
+        names = None
+        if self._names is not None:
+            (t_ids, nms), (q_ids, qnms) = self._names
+            names = ((t_ids[lo:hi], nms), (q_ids[lo:hi], qnms))
+        o = self.name_offsets
+        base = int(o[2 * lo])
+        return ChainTable(self.scores[lo:hi], self.header[lo:hi],
+                          self.strands[lo:hi],
+                          o[2 * lo:2 * hi + 1] - base,
+                          self.name_blob[base:int(o[2 * hi])],
+                          self.block_offsets[lo:hi + 1] - blo,
+                          self.blocks[blo:bhi], names=names)
+
 
 def parse_chain_table(data: bytes) -> "ChainTable | None":
     """Parse a whole chain-file buffer into a ChainTable (no python Chain

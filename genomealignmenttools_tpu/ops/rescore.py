@@ -28,24 +28,33 @@ from __future__ import annotations
 import functools
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..device.genome import Genome
 
-# Persistent compilation cache: opt-in via GAT_JAX_CACHE=<dir>.  Measured
-# on the tunneled TPU backend, deserialized executables pay a ~100s
-# first-execution penalty - far worse than compiling fresh - so this
-# stays off unless explicitly requested.
-if os.environ.get("GAT_JAX_CACHE") and \
-        not jax.config.jax_compilation_cache_dir:
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["GAT_JAX_CACHE"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+# jax is imported lazily: the all-native host backends (GAT_RESCORE=
+# hostnative, and `auto` on machines without an accelerator library) must
+# not pay the jax import + backend-probe cost (seconds of cold start, and
+# on a tunneled TPU backend potentially much more).
+
+
+def _init_jax():
+    import jax
+
+    # Persistent compilation cache: opt-in via GAT_JAX_CACHE=<dir>.
+    # Measured on the tunneled TPU backend, deserialized executables pay a
+    # ~100s first-execution penalty - far worse than compiling fresh - so
+    # this stays off unless explicitly requested.
+    if os.environ.get("GAT_JAX_CACHE") and \
+            not jax.config.jax_compilation_cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["GAT_JAX_CACHE"])
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+        except Exception:
+            pass
+    return jax
 
 
 def _next_pow2(n: int, floor: int = 1024) -> int:
@@ -55,37 +64,56 @@ def _next_pow2(n: int, floor: int = 1024) -> int:
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("total_bases",))
+_BLOCK_SCORES_KERNEL = None
+
+
+def _build_block_scores_kernel():
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("total_bases",))
+    def kern(t_codes, q_codes, lut, t_starts, q_starts, sizes,
+             total_bases: int):
+        n = sizes.shape[0]
+        sizes = sizes.astype(jnp.int32)
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(sizes)[:-1]])
+        # pad tail bases onto a dummy segment (id n)
+        base_ids = jnp.arange(total_bases, dtype=jnp.int32)
+        seg = jnp.searchsorted(offsets + sizes, base_ids,
+                               side="right").astype(jnp.int32)
+        seg = jnp.minimum(seg, n)  # tail -> dummy
+        safe_seg = jnp.minimum(seg, n - 1)
+        pos = base_ids - offsets[safe_seg]
+        t_idx = t_starts[safe_seg].astype(jnp.int32) + pos
+        q_idx = q_starts[safe_seg].astype(jnp.int32) + pos
+        valid = seg < n
+        t_idx = jnp.where(valid, t_idx, 0)
+        q_idx = jnp.where(valid, q_idx, 0)
+        tc = jnp.take(t_codes, t_idx).astype(jnp.int32)
+        qc = jnp.take(q_codes, q_idx).astype(jnp.int32)
+        per_base = jnp.take(lut.reshape(-1), qc * 5 + tc)
+        per_base = jnp.where(valid, per_base, 0)
+        return jax.ops.segment_sum(per_base, seg, num_segments=n + 1,
+                                   indices_are_sorted=True)[:n]
+
+    return kern
+
+
 def _block_scores_kernel(t_codes, q_codes, lut, t_starts, q_starts, sizes,
                          total_bases: int):
-    """Per-block int32 score sums.
+    """Per-block int32 score sums (jit-compiled on first use).
 
     t_codes/q_codes: uint8[genome] (the relevant strand's code array)
     lut: int32[5,5] indexed [q_code, t_code]
     t_starts/q_starts/sizes: int32[n_blocks_padded] (size 0 padding)
     total_bases: static padded per-base total (>= sizes.sum())
     """
-    n = sizes.shape[0]
-    sizes = sizes.astype(jnp.int32)
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(sizes)[:-1]])
-    # pad tail bases onto a dummy segment (id n)
-    base_ids = jnp.arange(total_bases, dtype=jnp.int32)
-    seg = jnp.searchsorted(offsets + sizes, base_ids, side="right").astype(jnp.int32)
-    seg = jnp.minimum(seg, n)  # tail -> dummy
-    safe_seg = jnp.minimum(seg, n - 1)
-    pos = base_ids - offsets[safe_seg]
-    t_idx = t_starts[safe_seg].astype(jnp.int32) + pos
-    q_idx = q_starts[safe_seg].astype(jnp.int32) + pos
-    valid = seg < n
-    t_idx = jnp.where(valid, t_idx, 0)
-    q_idx = jnp.where(valid, q_idx, 0)
-    tc = jnp.take(t_codes, t_idx).astype(jnp.int32)
-    qc = jnp.take(q_codes, q_idx).astype(jnp.int32)
-    per_base = jnp.take(lut.reshape(-1), qc * 5 + tc)
-    per_base = jnp.where(valid, per_base, 0)
-    return jax.ops.segment_sum(per_base, seg, num_segments=n + 1,
-                               indices_are_sorted=True)[:n]
+    global _BLOCK_SCORES_KERNEL
+    if _BLOCK_SCORES_KERNEL is None:
+        _BLOCK_SCORES_KERNEL = _build_block_scores_kernel()
+    return _BLOCK_SCORES_KERNEL(t_codes, q_codes, lut, t_starts, q_starts,
+                                sizes, total_bases=total_bases)
 
 
 class DeviceGenomeCache:
@@ -93,17 +121,19 @@ class DeviceGenomeCache:
 
     def __init__(self, genome: Genome):
         self.genome = genome
-        self._dev: dict[tuple[str, str], jax.Array] = {}
+        self._dev: dict[tuple[str, str], "object"] = {}
 
-    def codes(self, name: str, strand: str) -> jax.Array:
+    def codes(self, name: str, strand: str):
+        import jax.numpy as jnp
         key = (name, strand)
         if key not in self._dev:
             self._dev[key] = jnp.asarray(self.genome.codes(name, strand))
         return self._dev[key]
 
-    def codes_padded(self, name: str, strand: str, pad: int) -> jax.Array:
+    def codes_padded(self, name: str, strand: str, pad: int):
         """Code array padded with `pad` trailing N codes (for fixed-size
         window DMA that may run past the chromosome end)."""
+        import jax.numpy as jnp
         key = (name, strand, pad)
         if key not in self._dev:
             codes = self.genome.codes(name, strand)
@@ -112,10 +142,11 @@ class DeviceGenomeCache:
             self._dev[key] = jnp.asarray(padded)
         return self._dev[key]
 
-    def codes_padded_i32(self, name: str, strand: str, pad: int) -> jax.Array:
+    def codes_padded_i32(self, name: str, strand: str, pad: int):
         """(1, N+pad) int32 code array (Mosaic-friendly layout for the
         Pallas rescore kernel: int8 sublane packing makes i8 HBM slices
         1024-tiled, int32 has none of that)."""
+        import jax.numpy as jnp
         key = (name, strand, pad, "i32")
         if key not in self._dev:
             codes = self.genome.codes(name, strand)
@@ -131,6 +162,7 @@ class DeviceBlockScorer:
 
     def __init__(self, lut: np.ndarray, t_cache: DeviceGenomeCache,
                  q_cache: DeviceGenomeCache):
+        import jax.numpy as jnp
         self.lut = jnp.asarray(lut.astype(np.int32))
         self.t_cache = t_cache
         self.q_cache = q_cache
@@ -151,6 +183,7 @@ class DeviceBlockScorer:
         t_starts[:n] = blocks[:, 0]
         q_starts[:n] = blocks[:, 2]
         sz[:n] = sizes
+        import jax.numpy as jnp
         out = _block_scores_kernel(
             self.t_cache.codes(t_name, "+"),
             self.q_cache.codes(q_name, q_strand),
@@ -184,6 +217,7 @@ class DeviceChainScorer:
             else:
                 # pair packing is the fastest path on accelerator backends;
                 # on CPU the XLA gather kernel avoids the pack memory cost
+                import jax
                 mode = "pair" if jax.default_backend() != "cpu" else "xla"
         if mode == "pair":
             from .pair_rescore import PairBlockScorer
@@ -335,6 +369,53 @@ class DeviceChainScorer:
             results[i] = (float(chain_global_score(bs, gc)),
                           float(chain_local_score(bs, gc)),
                           int((c.blocks[:, 1] - c.blocks[:, 0]).sum()))
+        return results
+
+    def score_table(self, table) -> "np.ndarray | None":
+        """Batched (global, local, aliBases) over a whole ChainTable - no
+        python Chain objects.  Returns an (n, 3) float64 array in table row
+        order, or None when this scorer/backend cannot take the SoA path
+        (caller falls back to score_chains over materialized chains)."""
+        from ..native import get_lib
+        from .pair_rescore import PairBlockScorer
+        lib = get_lib()
+        if lib is None or not isinstance(self._dev, PairBlockScorer):
+            return None
+        (t_ids, names), (q_ids, qnames) = table.names_factorized()
+        n = len(table)
+        if n == 0:
+            return np.zeros((0, 3))
+        minus = (table.strands == ord("-")).astype(np.int64)
+        key = ((t_ids.astype(np.int64) << 33)
+               | (q_ids.astype(np.int64) << 1) | minus)
+        _, inverse = np.unique(key, return_inverse=True)
+        order = np.argsort(inverse, kind="stable")  # rows grouped, stable
+        bo = table.block_offsets
+        cnt = bo[1:] - bo[:-1]
+        cnt_o = cnt[order]
+        chain_off = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt_o, out=chain_off[1:])
+        total = int(chain_off[-1])
+        if np.array_equal(order, np.arange(n)):
+            all_blocks = np.ascontiguousarray(table.blocks)
+        else:
+            pos = (np.repeat(bo[order] - chain_off[:-1], cnt_o)
+                   + np.arange(total))
+            all_blocks = np.ascontiguousarray(table.blocks[pos])
+        ginv = inverse[order]
+        gstart = np.flatnonzero(np.r_[True, ginv[1:] != ginv[:-1]])
+        gend = np.r_[gstart[1:], n]
+        jobs = []
+        for s, e in zip(gstart.tolist(), gend.tolist()):
+            i = int(order[s])
+            jobs.append((names[t_ids[i]], qnames[q_ids[i]],
+                         "-" if minus[i] else "+",
+                         all_blocks[chain_off[s]:chain_off[e]]))
+        cs, c_block, _nb = self._dev.chunk_scores_multi(jobs)
+        out = _native_combine(lib, cs, c_block, all_blocks, chain_off,
+                              self.gap_calc)
+        results = np.empty((n, 3))
+        results[order] = out
         return results
 
     def _all_blocks_memo(self, jobs) -> np.ndarray:
