@@ -70,7 +70,12 @@ def _max_segments(scores: np.ndarray, min_score: int):
         score = int(cand[best_end])
         if score < min_score:
             continue
-        best_start = int(np.argmin(pref[:best_end + 1]))
+        # minimal maximal segment: zero-score flanks are trimmed (argmax
+        # already picks the first maximal end; the start is the LAST
+        # prefix-minimum), matching lastz's seed-anchored extension which
+        # records max positions and never includes score-neutral tails
+        pref_slice = pref[:best_end + 1]
+        best_start = int(np.flatnonzero(pref_slice == runmin[best_end])[-1])
         out.append((lo + best_start, lo + best_end + 1, score))
         stack.append((lo, lo + best_start))
         stack.append((lo + best_end + 1, hi))
