@@ -222,16 +222,34 @@ def bench_rescore(work_dir):
         return sum(g + loc for (g, loc, _a) in scorer.score_chains(chains))
 
     checksum = run_once()  # warmup: compile + first pack
+    from genomealignmenttools_tpu.ops.rescore import (perf_reset,
+                                                      perf_snapshot)
     times = []
+    perf_reset()
     for _ in range(3):
         t0 = time.time()
         assert run_once() == checksum
         times.append(time.time() - t0)
+    perf = perf_snapshot()
     warm_mb_s = ali_mb / min(times)
+    # roofline accounting: the rescore kernel reads 1 packed byte per
+    # aligned pair from HBM (resident tiles) + the LUT; v5e HBM ceiling
+    # ~819 GB/s.  With the pack memoized (resident workload), h2d/d2h
+    # traffic per run is what PERF recorded / 3 runs.
+    pair_bytes = meta["aligned_bases"]
+    hbm_gbs = pair_bytes / min(times) / 1e9
     return {"warm_mb_s": round(warm_mb_s, 1),
             "cold_e2e_s": round(cold_s, 2),
             "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
-            "cold_e2e_hostnative_s": round(cold_hn_s, 2)}
+            "cold_e2e_hostnative_s": round(cold_hn_s, 2),
+            "roofline": {
+                "bytes_hbm_per_run": pair_bytes,
+                "achieved_gbs": round(hbm_gbs, 2),
+                "pct_roofline_v5e": round(100 * hbm_gbs / 819, 2),
+                "n_dispatches_3runs": perf["dispatches"],
+                "h2d_bytes_3runs": perf["h2d_bytes"],
+                "d2h_bytes_3runs": perf["d2h_bytes"],
+            }}
 
 
 def main():
@@ -262,6 +280,7 @@ def main():
             "scorechain_cold_e2e_s": rescore["cold_e2e_s"],
             "scorechain_cold_e2e_mb_s": rescore["cold_e2e_mb_s"],
             "scorechain_cold_hostnative_s": rescore["cold_e2e_hostnative_s"],
+            "rescore_roofline": rescore["roofline"],
         },
     }))
 

@@ -235,6 +235,8 @@ class PairBlockScorer:
         def build():
             c8, c_block_all, m, n_blocks = self._pack_combined(
                 jobs, bucket_rows)
+            from .rescore import PERF
+            PERF["h2d_bytes"] += c8.nbytes
             if self.tile_sharding is not None:
                 dev_c8 = jax.device_put(c8, self.tile_sharding)
             else:
@@ -254,6 +256,8 @@ class PairBlockScorer:
         def build():
             c8, c_block_all, m, n_blocks = self._pack_combined(
                 jobs, lambda mm: ((mm + tile - 1) // tile) * tile)
+            from .rescore import PERF
+            PERF["h2d_bytes"] += c8.nbytes
             dev_tiles = [jnp.asarray(c8[i:i + tile])
                          for i in range(0, c8.shape[0], tile)]
             return (dev_tiles, c_block_all, m, n_blocks)
@@ -314,8 +318,11 @@ class PairBlockScorer:
                 out = self.lut25[c8[:m]].sum(axis=1).astype(np.int16)
             return out, c_block, n_blocks
         dev_tiles, c_block, m, n_blocks = self._pack_multi_tiles(jobs)
+        from .rescore import PERF
+        PERF["dispatches"] += len(dev_tiles)
         parts = [_pair_scores_kernel(t, self.packed_lut) for t in dev_tiles]
         cs = np.concatenate([np.asarray(p) for p in parts])[:m]
+        PERF["d2h_bytes"] += cs.nbytes
         return cs, c_block, n_blocks
 
     def _pack_multi_host(self, jobs):
@@ -591,8 +598,11 @@ class PairChainScorer:
         """[(global, local, ali)] per chain, one device sync."""
         (dev_c8, bias, first, sample, chain_of, start_idx,
          end_idx, ali) = self._meta(jobs, chain_nblocks)
+        from .rescore import PERF
+        PERF["dispatches"] += 1
         out = np.asarray(_pair_chain_scores(
             dev_c8, self.pair.packed_lut, bias, first, sample,
             chain_of, start_idx, end_idx))
+        PERF["d2h_bytes"] += out.nbytes
         return [(float(out[i, 0]), float(out[i, 1]), int(ali[i]))
                 for i in range(len(chain_nblocks))]

@@ -57,6 +57,22 @@ def _init_jax():
     return jax
 
 
+# Device-traffic counters (roofline accounting for bench.py): every
+# backend records what it ships, fetches and dispatches so benchmarks can
+# report achieved bandwidth vs the hardware ceiling instead of bare
+# ratios.
+PERF = {"h2d_bytes": 0, "d2h_bytes": 0, "dispatches": 0}
+
+
+def perf_reset() -> None:
+    for k in PERF:
+        PERF[k] = 0
+
+
+def perf_snapshot() -> dict:
+    return dict(PERF)
+
+
 def _next_pow2(n: int, floor: int = 1024) -> int:
     p = floor
     while p < n:
