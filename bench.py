@@ -41,6 +41,30 @@ def _have_ref():
             and os.path.exists(os.path.join(KENT_BIN, "chainSort")))
 
 
+def _device_run(snippet: str, timeout_s: int = 600):
+    """Run a device-backend measurement in a subprocess with a hard
+    timeout: the tunneled TPU can wedge mid-transfer, and a hung device
+    probe must not take the whole benchmark down.  The snippet must print
+    a float (seconds) as its last line; returns None on any failure."""
+    if os.environ.get("GAT_BENCH_DEVICE", "1") == "0":
+        return None
+    env = dict(os.environ)
+    env["GAT_RESCORE"] = "pair"
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        r = subprocess.run([sys.executable, "-c", snippet], env=env,
+                           capture_output=True, timeout=timeout_s,
+                           text=True)
+        if r.returncode != 0:
+            return None
+        last = r.stdout.strip().splitlines()[-1]
+        if last.startswith("{"):
+            return json.loads(last)
+        return float(last)
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
+        return None
+
+
 def bench_cleaner(work_dir):
     """chainCleaner end-to-end: C reference vs this framework."""
     from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
@@ -97,14 +121,27 @@ def bench_cleaner(work_dir):
                      linear_gap="loose")
         return time.time() - t0
 
-    cold = run_once()          # includes jax init + kernel compiles
-    warm_dev = min(run_once(), run_once())
-    # the all-native backend (byte-identical); wins on narrow host links
-    os.environ["GAT_RESCORE"] = "hostnative"
-    try:
-        warm_host = min(run_once(), run_once())
-    finally:
-        del os.environ["GAT_RESCORE"]
+    cold = run_once()          # auto backend (host-native default)
+    warm_host = min(run_once(), run_once())
+    # the device backend, explicitly (auto picks host-native for one-shot
+    # runs by measurement; this records the device side of that decision),
+    # in a timeout-guarded subprocess - the tunnel can wedge
+    warm_dev = _device_run(f"""
+import time
+from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
+from genomealignmenttools_tpu.utils.verbose import set_verbosity
+set_verbosity(0)
+args = ({m["chain"]!r}, {m["t2bit"]!r}, {m["q2bit"]!r},
+        {out_chain + ".dev"!r}, {out_bed + ".dev"!r})
+kw = dict(t_sizes={m["t_sizes"]!r}, q_sizes={m["q_sizes"]!r},
+          linear_gap="loose")
+clean_chains(*args, **kw)
+best = 1e9
+for _ in range(2):
+    t0 = time.time(); clean_chains(*args, **kw)
+    best = min(best, time.time() - t0)
+print(best)
+""")
 
     parity = None
     if os.path.exists(c_chain):
@@ -113,8 +150,9 @@ def bench_cleaner(work_dir):
 
     return {"c_total_s": round(c_total, 2) if c_total else None,
             "cold_s": round(cold, 2),
-            "warm_s": round(min(warm_dev, warm_host), 2),
-            "warm_device_s": round(warm_dev, 2),
+            "warm_s": round(warm_host if warm_dev is None
+                            else min(warm_dev, warm_host), 2),
+            "warm_device_s": round(warm_dev, 2) if warm_dev else None,
             "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}
 
@@ -161,20 +199,30 @@ def bench_chainnet_rescore(work_dir):
         return time.time() - t0
 
     cold = run_once()
-    warm_dev = min(run_once(), run_once())
-    os.environ["GAT_RESCORE"] = "hostnative"
-    try:
-        warm_host = min(run_once(), run_once())
-    finally:
-        del os.environ["GAT_RESCORE"]
+    warm_host = min(run_once(), run_once())
+    warm_dev = _device_run(f"""
+import time
+from genomealignmenttools_tpu.engines.chain_net import chain_net
+def once():
+    t0 = time.time()
+    with open({g_t + ".dev"!r}, "w") as t_out, \
+            open({g_q + ".dev"!r}, "w") as q_out:
+        chain_net({m["chain"]!r}, {m["t_sizes"]!r}, {m["q_sizes"]!r},
+                  t_out, q_out, rescore=True, t_2bit={m["t2bit"]!r},
+                  q_2bit={m["q2bit"]!r}, linear_gap="loose")
+    return time.time() - t0
+once()
+print(min(once(), once()))
+""")
     parity = None
     if os.path.exists(c_t):
         parity = (open(g_t).read() == open(c_t).read()
                   and open(g_q).read() == open(c_q).read())
     return {"c_total_s": round(c_total, 2) if c_total else None,
             "cold_s": round(cold, 2),
-            "warm_s": round(min(warm_dev, warm_host), 2),
-            "warm_device_s": round(warm_dev, 2),
+            "warm_s": round(warm_host if warm_dev is None
+                            else min(warm_dev, warm_host), 2),
+            "warm_device_s": round(warm_dev, 2) if warm_dev else None,
             "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}
 
@@ -193,55 +241,102 @@ def bench_rescore(work_dir):
     meta = build_workload(work_dir, t_size=256_000_000, n_chains=384)
     ali_mb = meta["aligned_bases"] / 1e6
 
-    # cold end-to-end scoreChain (parse + pack + score + write)
+    # cold end-to-end scoreChain (parse + pack + score + write); auto =
+    # the all-native host path, the measured one-shot winner
     t0 = time.time()
     score_chain_file(meta["chain"], meta["t2bit"], meta["q2bit"],
                      os.path.join(work_dir, "scored.chain"),
                      linear_gap="loose")
     cold_s = time.time() - t0
+    cold_hn_s = cold_s
 
-    # the all-native host path (GAT_RESCORE=hostnative): the right choice
-    # for one-shot cold scoring when the host<->device link is narrow
-    os.environ["GAT_RESCORE"] = "hostnative"
-    try:
-        t0 = time.time()
-        score_chain_file(meta["chain"], meta["t2bit"], meta["q2bit"],
-                         os.path.join(work_dir, "scored_hn.chain"),
-                         linear_gap="loose")
-        cold_hn_s = time.time() - t0
-        assert (open(os.path.join(work_dir, "scored_hn.chain")).read()
+    # the device backend for the same one-shot run, explicitly (timeout
+    # guarded: the tunnel can wedge)
+    dev_out = os.path.join(work_dir, "scored_dev.chain")
+    cold_dev_s = _device_run(f"""
+import time
+from genomealignmenttools_tpu.engines.score_chain import score_chain_file
+t0 = time.time()
+score_chain_file({meta["chain"]!r}, {meta["t2bit"]!r}, {meta["q2bit"]!r},
+                 {dev_out!r}, linear_gap="loose")
+print(time.time() - t0)
+""")
+    if cold_dev_s is not None:
+        assert (open(dev_out).read()
                 == open(os.path.join(work_dir, "scored.chain")).read())
-    finally:
-        del os.environ["GAT_RESCORE"]
 
-    chains = read_chains(meta["chain"])
-    scorer = DeviceChainScorer(score_scheme_default(), gap_calc_default(),
-                               Genome(meta["t2bit"]), Genome(meta["q2bit"]))
+    # resident rescore throughput: the device backend's home turf (chains
+    # packed once, re-scored repeatedly).  Timeout-guarded subprocess; on
+    # tunnel failure the host-native resident number is recorded instead.
+    snippet = f"""
+import json, time
+from genomealignmenttools_tpu.device.genome import Genome
+from genomealignmenttools_tpu.engines.scoring import ChainScorer
+from genomealignmenttools_tpu.formats.chain import read_chains
+from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
+from genomealignmenttools_tpu.formats.scorematrix import score_scheme_default
+from genomealignmenttools_tpu.ops.rescore import (DeviceChainScorer,
+                                                  perf_reset, perf_snapshot)
+chains = read_chains({meta["chain"]!r})
+scorer = DeviceChainScorer(score_scheme_default(), gap_calc_default(),
+                           Genome({meta["t2bit"]!r}), Genome({meta["q2bit"]!r}))
+def run_once():
+    return sum(g + loc for (g, loc, _a) in scorer.score_chains(chains))
+checksum = run_once()
+perf_reset()
+times = []
+for _ in range(3):
+    t0 = time.time()
+    assert run_once() == checksum
+    times.append(time.time() - t0)
+print(json.dumps({{"best_s": min(times), "perf": perf_snapshot()}}))
+"""
+    best_s = None
+    perf = {"dispatches": None, "h2d_bytes": None, "d2h_bytes": None}
+    backend = "device(pair)"
+    dev = _device_run(snippet)
+    if isinstance(dev, dict):
+        best_s = dev["best_s"]
+        perf = dev["perf"]
+    else:
+        backend = "hostnative"
+        env_save = os.environ.get("GAT_RESCORE")
+        os.environ["GAT_RESCORE"] = "hostnative"
+        try:
+            chains = read_chains(meta["chain"])
+            scorer = DeviceChainScorer(
+                score_scheme_default(), gap_calc_default(),
+                Genome(meta["t2bit"]), Genome(meta["q2bit"]))
 
-    def run_once():
-        return sum(g + loc for (g, loc, _a) in scorer.score_chains(chains))
+            def run_once():
+                return sum(g + loc
+                           for (g, loc, _a) in scorer.score_chains(chains))
 
-    checksum = run_once()  # warmup: compile + first pack
-    from genomealignmenttools_tpu.ops.rescore import (perf_reset,
-                                                      perf_snapshot)
-    times = []
-    perf_reset()
-    for _ in range(3):
-        t0 = time.time()
-        assert run_once() == checksum
-        times.append(time.time() - t0)
-    perf = perf_snapshot()
-    warm_mb_s = ali_mb / min(times)
+            checksum = run_once()
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                assert run_once() == checksum
+                times.append(time.time() - t0)
+            best_s = min(times)
+        finally:
+            if env_save is None:
+                del os.environ["GAT_RESCORE"]
+            else:
+                os.environ["GAT_RESCORE"] = env_save
+    warm_mb_s = ali_mb / best_s
     # roofline accounting: the rescore kernel reads 1 packed byte per
     # aligned pair from HBM (resident tiles) + the LUT; v5e HBM ceiling
-    # ~819 GB/s.  With the pack memoized (resident workload), h2d/d2h
-    # traffic per run is what PERF recorded / 3 runs.
+    # ~819 GB/s.
     pair_bytes = meta["aligned_bases"]
-    hbm_gbs = pair_bytes / min(times) / 1e9
+    hbm_gbs = pair_bytes / best_s / 1e9
     return {"warm_mb_s": round(warm_mb_s, 1),
+            "warm_backend": backend,
             "cold_e2e_s": round(cold_s, 2),
             "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
             "cold_e2e_hostnative_s": round(cold_hn_s, 2),
+            "cold_e2e_device_s": (round(cold_dev_s, 2)
+                                  if cold_dev_s else None),
             "roofline": {
                 "bytes_hbm_per_run": pair_bytes,
                 "achieved_gbs": round(hbm_gbs, 2),
@@ -280,6 +375,7 @@ def main():
             "scorechain_cold_e2e_s": rescore["cold_e2e_s"],
             "scorechain_cold_e2e_mb_s": rescore["cold_e2e_mb_s"],
             "scorechain_cold_hostnative_s": rescore["cold_e2e_hostnative_s"],
+            "scorechain_cold_device_s": rescore["cold_e2e_device_s"],
             "rescore_roofline": rescore["roofline"],
         },
     }))

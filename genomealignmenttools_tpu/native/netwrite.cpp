@@ -14,6 +14,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -44,6 +45,11 @@ struct Buf {
         ensure(depth);
         std::memset(p + len, ' ', depth);
         len += depth;
+    }
+    void reserve_total(int64_t total) {
+        if (total <= cap) return;
+        p = (char*)realloc(p, total);
+        cap = total;
     }
 };
 
@@ -91,7 +97,10 @@ char* gat_net_write(
             pp[j + 1] = pp[j] + (b[j * 4 + 1] - b[j * 4]);
     }
 
-    for (int64_t si = 0; si < n_segs; ++si) {
+    // per-chrom segments are independent: emit them on threads into
+    // per-thread buffers and concatenate (node-count weighted split)
+    auto write_segs = [&](int64_t si_lo, int64_t si_hi, Buf& buf) {
+    for (int64_t si = si_lo; si < si_hi; ++si) {
         int64_t ci_chrom = segs[si * 3 + 0];
         int64_t lo = segs[si * 3 + 1], hi = segs[si * 3 + 2];
         buf.addf("net ");
@@ -188,6 +197,50 @@ char* gat_net_write(
                 while (j < hi && nodes[j * 7 + 1] > depth) ++j;
                 i = j;
             }
+        }
+    }
+    };  // write_segs
+
+    int hw = (int)std::thread::hardware_concurrency();
+    int n_threads = hw > 1 ? (hw > 16 ? 16 : hw) : 1;
+    if (n_segs < 2 || n_nodes < (1 << 14)) n_threads = 1;
+    if (n_threads == 1) {
+        write_segs(0, n_segs, buf);
+        free(pref);
+        *out_len = buf.len;
+        return buf.p;
+    }
+    if (n_threads > (int)n_segs) n_threads = (int)n_segs;
+    // split segments by node weight
+    std::vector<int64_t> bounds(n_threads + 1, 0);
+    bounds[n_threads] = n_segs;
+    {
+        int64_t total = 0;
+        for (int64_t si = 0; si < n_segs; ++si)
+            total += segs[si * 3 + 2] - segs[si * 3 + 1];
+        int64_t acc = 0;
+        int next = 1;
+        for (int64_t si = 0; si < n_segs && next < n_threads; ++si) {
+            acc += segs[si * 3 + 2] - segs[si * 3 + 1];
+            if (acc >= total * next / n_threads) bounds[next++] = si + 1;
+        }
+        while (next < n_threads) bounds[next++] = n_segs;
+    }
+    std::vector<Buf> bufs(n_threads);
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t)
+        ts.emplace_back([&, t] { write_segs(bounds[t], bounds[t + 1],
+                                            bufs[t]); });
+    for (auto& th : ts) th.join();
+    int64_t total_len = buf.len;
+    for (auto& b : bufs) total_len += b.len;
+    buf.reserve_total(total_len);
+    for (auto& b : bufs) {
+        if (b.p) {
+            memcpy(buf.p + buf.len, b.p, b.len);
+            buf.len += b.len;
+            free(b.p);
+            b.p = nullptr;
         }
     }
     free(pref);

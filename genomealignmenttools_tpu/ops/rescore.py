@@ -464,14 +464,26 @@ def auto_scorer_factory():
     - GAT_RESCORE set (any explicit backend): DeviceChainScorer without
       touching JAX - probing a remote-tunneled backend can cost tens of
       seconds, and the decision is already made.
-    - accelerator present: DeviceChainScorer (batched device scoring).
-    - CPU backend: the all-native host backend when the C++ library is
-      available (fused pack+score beats the python scorer everywhere),
-      else the python scorer.
+    - native C++ library available: the all-native host backend.  For
+      ONE-SHOT tool runs this is the measured winner on every workload
+      (BENCH_r03 extra: cleaner warm host 0.8s vs device 15.7s, scoreChain
+      cold host 1.9s vs device 13s on a tunneled v5e): a single pass is
+      bounded by host->device shipping + per-batch fetches, which exceed
+      the entire native compute.  The device backend wins only when the
+      packed workload stays RESIDENT across repeated scoring (chainNet
+      -rescore server loops, benchmarks: 2.5 GB/s vs 64 MB/s single-core
+      C), so residency is an explicit choice (GAT_RESCORE=pair / pallas or
+      a directly-constructed DeviceChainScorer), not the one-shot default.
+      Skipping the jax probe entirely also removes the backend-init cost
+      from every cold tool run.
+    - otherwise: device when an accelerator is present, else python.
     """
     mode = os.environ.get("GAT_RESCORE", "auto")
     if mode != "auto":
         return DeviceChainScorer
+    from ..native import get_lib
+    if get_lib() is not None:
+        return functools.partial(DeviceChainScorer, mode="hostnative")
     import jax
     try:
         backend = jax.default_backend()
@@ -479,9 +491,6 @@ def auto_scorer_factory():
         backend = "cpu"
     if backend != "cpu":
         return DeviceChainScorer
-    from ..native import get_lib
-    if get_lib() is not None:
-        return functools.partial(DeviceChainScorer, mode="hostnative")
     return None
 
 
