@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <cstdio>
 #include <cstring>
+#include <atomic>
 #include <thread>
 #include <set>
 #include <vector>
@@ -363,53 +364,86 @@ GatNetResult *gat_net_sweep_sides(
                        q_sizes[q_chrom_idx[i]], q_minus[i] != 0, (int32_t)i};
   }
   bool want_t = (sides & 1) != 0, want_q = (sides & 2) != 0;
-  if (want_t) init_side(st->t_side, t_sizes, n_t_chroms);
-  if (want_q) init_side(st->q_side, q_sizes, n_q_chroms);
 
+  // Per-chromosome parallel sweep: every chromosome's space partition is
+  // fully independent (fills only claim space on their own chromosome),
+  // so each chrom builds its own local tree + emit buffer on a worker
+  // thread (score order is preserved within the chrom's chain list) and
+  // the buffers are concatenated in chromosome order - byte-identical to
+  // the sequential sweep.
   char side_err[2][256] = {{0}, {0}};
   auto run_side = [&](bool is_q) {
-    Side &side = is_q ? st->q_side : st->t_side;
     Emit &em = is_q ? st->q_emit : st->t_emit;
     const int32_t *chrom_idx = is_q ? q_chrom_idx : t_chrom_idx;
-    std::vector<Space> scratch;
-    std::vector<int64_t> flip;
-    for (int64_t i = 0; i < n_chains; i++) {
-      // addChain: query side first, then target (chainNet.c:681-686);
-      // the two Side trees never interact, so per-side order is all that
-      // matters for parity
-      if (is_q)
-        add_chain_q(side, chrom_idx[i], cvs[i], min_space, min_fill,
-                    scratch, flip);
-      else
-        add_chain_t(side, chrom_idx[i], cvs[i], min_space, min_fill,
-                    scratch);
-    }
-    int64_t n_chroms = (int64_t)side.roots.size();
-    for (int64_t c = 0; c < n_chroms; c++) {
-      int32_t root = side.roots[c];
-      if (side.gaps[root].fills.empty()) continue;
-      sort_tree(side, root);
-      if (!calc_other(side, root, cvs, is_q)) {
-        std::snprintf(side_err[is_q ? 1 : 0], 256,
-                      "%sFillOtherRange: no overlapping blocks",
-                      is_q ? "q" : "t");
-        return;
+    const int64_t *sizes = is_q ? q_sizes : t_sizes;
+    int64_t n_chroms = is_q ? n_q_chroms : n_t_chroms;
+
+    std::vector<std::vector<int32_t>> per_chrom(n_chroms);
+    for (int64_t i = 0; i < n_chains; i++)
+      per_chrom[chrom_idx[i]].push_back((int32_t)i);
+    // process heaviest chroms first (atomic work stealing)
+    std::vector<int64_t> order;
+    order.reserve(n_chroms);
+    for (int64_t c = 0; c < n_chroms; c++)
+      if (!per_chrom[c].empty()) order.push_back(c);
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return per_chrom[a].size() > per_chrom[b].size();
+    });
+    std::vector<Emit> chrom_emits(n_chroms);
+    std::atomic<int64_t> next{0};
+    auto worker = [&] {
+      std::vector<Space> scratch;
+      std::vector<int64_t> flip;
+      for (;;) {
+        int64_t k = next.fetch_add(1);
+        if (k >= (int64_t)order.size()) return;
+        int64_t c = order[k];
+        Side side;
+        init_side(side, sizes + c, 1);
+        for (int32_t i : per_chrom[c]) {
+          if (is_q)
+            add_chain_q(side, 0, cvs[i], min_space, min_fill, scratch,
+                        flip);
+          else
+            add_chain_t(side, 0, cvs[i], min_space, min_fill, scratch);
+        }
+        int32_t root = side.roots[0];
+        if (side.gaps[root].fills.empty()) continue;
+        sort_tree(side, root);
+        if (!calc_other(side, root, cvs, is_q)) {
+          std::snprintf(side_err[is_q ? 1 : 0], 256,
+                        "%sFillOtherRange: no overlapping blocks",
+                        is_q ? "q" : "t");
+          return;
+        }
+        for (int32_t fi : side.gaps[root].fills)
+          emit_fill(side, fi, 1, chrom_emits[c]);
       }
+    };
+    int hw = (int)std::thread::hardware_concurrency();
+    int n_threads = hw > 1 ? (hw > 16 ? 16 : hw) : 1;
+    if ((int64_t)n_threads > (int64_t)order.size())
+      n_threads = (int)order.size();
+    if (n_chains < 4096) n_threads = 1;
+    if (n_threads <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> ts;
+      for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+      worker();
+      for (auto &th : ts) th.join();
+    }
+    for (int64_t c = 0; c < n_chroms; c++) {
+      if (chrom_emits[c].nodes.empty()) continue;
       int64_t lo = (int64_t)em.nodes.size() / 7;
-      for (int32_t fi : side.gaps[root].fills) emit_fill(side, fi, 1, em);
+      em.nodes.insert(em.nodes.end(), chrom_emits[c].nodes.begin(),
+                      chrom_emits[c].nodes.end());
       int64_t hi = (int64_t)em.nodes.size() / 7;
       em.chrom_seg.insert(em.chrom_seg.end(), {c, lo, hi});
     }
   };
-  if (want_t && want_q) {
-    std::thread tq([&] { run_side(true); });
-    run_side(false);
-    tq.join();
-  } else if (want_t) {
-    run_side(false);
-  } else if (want_q) {
-    run_side(true);
-  }
+  if (want_t) run_side(false);
+  if (want_q && !side_err[0][0]) run_side(true);
   if (side_err[0][0] || side_err[1][0]) {
     std::snprintf(res->error, sizeof(res->error), "%s",
                   side_err[0][0] ? side_err[0] : side_err[1]);
