@@ -590,9 +590,17 @@ class ChainCleaner:
             (start, end, self._seq))
 
     def _prescore_breaks(self, allowed_parents=None) -> None:
-        """Score every pending break's 4 sub-chains in one batched device
-        round trip (the reference scores them one at a time inside
-        testAndRemoveSuspect, chainCleaner.c:1214-1229)."""
+        """Score every pending break's 4 sub-chains in one batch (the
+        reference scores them one at a time inside testAndRemoveSuspect,
+        chainCleaner.c:1214-1229).
+
+        Host path: gat_subset_scores fuses chainSubsetOnT + per-base LUT
+        sums + gapCalc + the global/local scan into one threaded native
+        pass straight from the genome code arrays - no python subset
+        objects.  Device scorers batch materialized subsets through one
+        device round trip instead."""
+        if self._prescore_native(allowed_parents):
+            return
         if not hasattr(self.scorer, "score_chains"):
             return
         jobs: list[Chain] = []
@@ -629,6 +637,104 @@ class ChainCleaner:
         for key, sub, (g, loc, ali) in zip(keys, jobs, scored):
             self._sub_cache[key] = (float(g), float(loc), int(ali), True,
                                     self._seq)
+
+    def _prescore_native(self, allowed_parents) -> bool:
+        """gat_subset_scores fast path; False -> caller uses the batched
+        python/device path (device scorers want the device batch)."""
+        scorer = self.scorer
+        dev = getattr(scorer, "_dev", None)
+        host_backed = (dev is None and hasattr(scorer, "t_genome")) or \
+            (dev is not None and getattr(dev, "host_native", False))
+        if not host_backed or not hasattr(scorer, "t_genome"):
+            return False
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gat_subset_scores"):
+            return False
+        import ctypes
+
+        rows: dict[int, int] = {}
+        chain_list: list[Chain] = []
+        jobs: list[tuple[int, int, int]] = []
+        keys: list[tuple[int, int, int]] = []
+        seen: set[tuple[int, int, int]] = set()
+
+        def enqueue(chain: Chain | None, start: int, end: int):
+            if chain is None:
+                return
+            key = (chain.id, start, end)
+            if key in seen:
+                return
+            seen.add(key)
+            row = rows.get(chain.id)
+            if row is None:
+                row = rows[chain.id] = len(chain_list)
+                chain_list.append(chain)
+            jobs.append((row, start, end))
+            keys.append(key)
+
+        for key, break_list in self.break_hash.el_list_order():
+            if allowed_parents is not None and key not in allowed_parents:
+                continue
+            for brk in break_list:
+                enqueue(self.chains.get(brk.parent_chain_id),
+                        brk.suspect_start, brk.suspect_end)
+                broken = self.chains.get(brk.chain_id)
+                enqueue(broken, brk.l_fill_start, brk.r_fill_end)
+                enqueue(broken, brk.l_fill_start, brk.suspect_end)
+                enqueue(broken, brk.suspect_start, brk.r_fill_end)
+        if not jobs:
+            return True
+        n_rows = len(chain_list)
+        chain_off = np.zeros(n_rows + 1, np.int64)
+        for i, c in enumerate(chain_list):
+            chain_off[i + 1] = chain_off[i] + c.n_blocks
+        blocks = np.empty((int(chain_off[-1]), 4), np.int64)
+        for i, c in enumerate(chain_list):
+            np.copyto(blocks[chain_off[i]:chain_off[i + 1]], c.blocks)
+        code_refs = []  # keep the code arrays alive across the call
+        t_ptrs = (ctypes.c_void_p * n_rows)()
+        q_ptrs = (ctypes.c_void_p * n_rows)()
+        for i, c in enumerate(chain_list):
+            tc = np.ascontiguousarray(
+                scorer.t_genome.codes(c.t_name, "+"))
+            qc = np.ascontiguousarray(
+                scorer.q_genome.codes(c.q_name, c.q_strand))
+            code_refs.append((tc, qc))
+            t_ptrs[i] = tc.ctypes.data
+            q_ptrs[i] = qc.ctypes.data
+        lut25 = np.zeros(25, np.int32)
+        lut = np.asarray(scorer.scheme.lut)
+        for qv in range(min(5, lut.shape[0])):
+            for tv in range(min(5, lut.shape[1])):
+                lut25[qv * 5 + tv] = lut[qv, tv]
+        jobs_arr = np.asarray(jobs, np.int64)
+        out = np.empty((len(jobs), 4), np.int64)
+        gc = scorer.gap_calc
+        import os as _os
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.gat_subset_scores(
+            blocks.ctypes.data_as(i64p), chain_off.ctypes.data_as(i64p),
+            n_rows, t_ptrs, q_ptrs,
+            lut25.ctypes.data_as(i32p),
+            jobs_arr.ctypes.data_as(i64p), len(jobs),
+            int(gc.small_size),
+            gc.q_small.ctypes.data_as(i64p),
+            gc.t_small.ctypes.data_as(i64p),
+            gc.b_small.ctypes.data_as(i64p),
+            gc.long_pos.ctypes.data_as(i64p), int(gc.long_pos.shape[0]),
+            np.ascontiguousarray(gc.q_long).ctypes.data_as(f64p),
+            np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
+            np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
+            out.ctypes.data_as(i64p),
+            min(_os.cpu_count() or 1, 16))
+        del code_refs
+        for key, row in zip(keys, out):
+            self._sub_cache[key] = (float(row[0]), float(row[1]),
+                                    int(row[2]), bool(row[3]), self._seq)
+        return True
 
     def _test_and_remove(self, brk: BreakInfo, upstream: BreakInfo | None,
                          downstream: BreakInfo | None,

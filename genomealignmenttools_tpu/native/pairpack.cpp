@@ -261,4 +261,100 @@ void gat_combine_scores(
     }
 }
 
+// Fused chainSubsetOnT + getChainScore over many (chain, t_start, t_end)
+// jobs - the chainCleaner prescore inner loop (chainCleaner.c:1214-1229)
+// with zero python objects: clip the parent chain's block range to the
+// t-window (blocks are t-sorted and disjoint, so the kept set is one
+// contiguous range; only edge blocks clip, interior gaps are unchanged),
+// then per-base LUT sums + exact gapCalc + the global/local scan, all in
+// one pass.  jobs: (chain_row, t_start, t_end) x n; out: (global, local,
+// ali, exists) x n.  t_codes/q_codes: per chain-row genome code pointers.
+void gat_subset_scores(
+    const int64_t* blocks, const int64_t* chain_off, int64_t n_chains,
+    const uint8_t* const* t_codes, const uint8_t* const* q_codes,
+    const int32_t* lut25,
+    const int64_t* jobs, int64_t n_jobs,
+    int64_t small_size,
+    const int64_t* q_small, const int64_t* t_small, const int64_t* b_small,
+    const int64_t* long_pos, int64_t n_long,
+    const double* q_long, const double* t_long, const double* b_long,
+    int64_t* out, int n_threads) {
+    (void)n_chains;
+    GapTables g{small_size, q_small, t_small, b_small,
+                long_pos, n_long, q_long, t_long, b_long};
+    auto worker = [&](int64_t k_lo, int64_t k_hi) {
+        for (int64_t k = k_lo; k < k_hi; ++k) {
+            int64_t row = jobs[k * 3 + 0];
+            int64_t fs = jobs[k * 3 + 1], fe = jobs[k * 3 + 2];
+            const int64_t* b = blocks + chain_off[row] * 4;
+            int64_t nb = chain_off[row + 1] - chain_off[row];
+            // first block with tEnd > fs; first block with tStart >= fe
+            int64_t lo = 0, hi = nb;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (b[mid * 4 + 1] <= fs) lo = mid + 1; else hi = mid;
+            }
+            int64_t j1 = lo;
+            lo = j1; hi = nb;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (b[mid * 4 + 0] < fe) lo = mid + 1; else hi = mid;
+            }
+            int64_t j2 = lo;
+            int64_t* o = out + k * 4;
+            if (j1 >= j2) {
+                o[0] = o[1] = o[2] = o[3] = 0;
+                continue;
+            }
+            const uint8_t* tc = t_codes[row];
+            const uint8_t* qc = q_codes[row];
+            int64_t total_bs = 0, total_gc = 0, ali = 0;
+            int64_t c = 0, minc = 0, best = INT64_MIN;
+            for (int64_t j = j1; j < j2; ++j) {
+                int64_t ts = b[j * 4 + 0], te = b[j * 4 + 1];
+                int64_t qs = b[j * 4 + 2];
+                if (ts < fs) { qs += fs - ts; ts = fs; }
+                if (te > fe) te = fe;
+                if (j > j1) {
+                    int64_t dt = b[j * 4 + 0] - b[(j - 1) * 4 + 1];
+                    int64_t dq = b[j * 4 + 2] - b[(j - 1) * 4 + 3];
+                    int64_t gc2 = gap_cost(dq, dt, g);
+                    total_gc += gc2;
+                    c -= gc2;
+                    if (c < minc) minc = c;
+                }
+                int64_t len = te - ts;
+                const uint8_t* tp = tc + ts;
+                const uint8_t* qp = qc + qs;
+                int64_t bs = 0;
+                for (int64_t i = 0; i < len; ++i)
+                    bs += lut25[qp[i] * 5 + tp[i]];
+                total_bs += bs;
+                ali += len;
+                c += bs;
+                if (c < minc) minc = c;
+                int64_t clamped = c - minc;
+                if (clamped > best) best = clamped;
+            }
+            o[0] = total_bs - total_gc;
+            o[1] = best > 0 ? best : 0;
+            o[2] = ali;
+            o[3] = 1;
+        }
+    };
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || n_jobs < 64) {
+        worker(0, n_jobs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n_jobs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo2 = t * per, hi2 = lo2 + per < n_jobs ? lo2 + per : n_jobs;
+        if (lo2 >= hi2) break;
+        threads.emplace_back(worker, lo2, hi2);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
