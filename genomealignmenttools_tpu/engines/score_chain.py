@@ -54,6 +54,25 @@ def score_chain_file(
     scorer = factory(scheme, gap_calc, t_genome, q_genome)
 
     from ..utils.profiling import phase
+
+    # overlap the 2bit decode (+ '-'-strand revcomp) with chain parsing:
+    # scoring only touches code arrays after the parse.  Benign race:
+    # Genome caches per chrom, a concurrent first access at worst decodes
+    # twice.
+    import threading
+
+    def _prefetch_codes():
+        try:
+            for seq in t_genome.names():
+                t_genome.codes(seq, "+")
+            for seq in q_genome.names():
+                q_genome.codes(seq, "+")
+        except Exception:
+            pass  # scoring will surface any real error
+
+    prefetch = threading.Thread(target=_prefetch_codes, daemon=True)
+    prefetch.start()
+
     table = None
     with phase("read chains"):
         if isinstance(in_chain, str):

@@ -401,6 +401,13 @@ class DeviceChainScorer:
         n = len(table)
         if n == 0:
             return np.zeros((0, 3))
+        if getattr(self._dev, "host_native", False) and \
+                hasattr(lib, "gat_subset_scores"):
+            # all-host path: gat_subset_scores with full-range windows
+            # scores every chain straight from the table columns - no
+            # grouping, no block gathers
+            return self._score_table_native(lib, table, t_ids, names,
+                                            q_ids, qnames)
         minus = (table.strands == ord("-")).astype(np.int64)
         key = ((t_ids.astype(np.int64) << 33)
                | (q_ids.astype(np.int64) << 1) | minus)
@@ -433,6 +440,67 @@ class DeviceChainScorer:
         results = np.empty((n, 3))
         results[order] = out
         return results
+
+    def _score_table_native(self, lib, table, t_ids, names, q_ids, qnames):
+        import ctypes
+        n = len(table)
+        minus = table.strands == ord("-")
+        # per-unique (name, strand) code pointers, fanned to rows (the
+        # name table is shared between t and q columns - decode only the
+        # ids each side actually uses)
+        t_arrs = {j: np.ascontiguousarray(self.t_genome.codes(names[j], "+"))
+                  for j in set(t_ids.tolist())}
+        q_plus = {}
+        q_minus = {}
+        for j in set(q_ids.tolist()):
+            rows_j = q_ids == j
+            if (rows_j & ~minus).any():
+                q_plus[j] = np.ascontiguousarray(
+                    self.q_genome.codes(qnames[j], "+"))
+            if (rows_j & minus).any():
+                q_minus[j] = np.ascontiguousarray(
+                    self.q_genome.codes(qnames[j], "-"))
+        t_ptrs = (ctypes.c_void_p * n)()
+        q_ptrs = (ctypes.c_void_p * n)()
+        t_ptr_of = {j: a.ctypes.data for j, a in t_arrs.items()}
+        qp_ptr = {j: a.ctypes.data for j, a in q_plus.items()}
+        qm_ptr = {j: a.ctypes.data for j, a in q_minus.items()}
+        mlist = minus.tolist()
+        qlist = q_ids.tolist()
+        for i, tj in enumerate(t_ids.tolist()):
+            t_ptrs[i] = t_ptr_of[tj]
+            q_ptrs[i] = qm_ptr[qlist[i]] if mlist[i] else qp_ptr[qlist[i]]
+        jobs = np.empty((n, 3), np.int64)
+        jobs[:, 0] = np.arange(n)
+        jobs[:, 1] = table.header[:, 1]  # t_start: full cover
+        jobs[:, 2] = table.header[:, 2]  # t_end
+        lut25 = np.zeros(25, np.int32)
+        lut = np.asarray(self.scheme.lut)
+        for qv in range(min(5, lut.shape[0])):
+            for tv in range(min(5, lut.shape[1])):
+                lut25[qv * 5 + tv] = lut[qv, tv]
+        out = np.empty((n, 4), np.int64)
+        gc = self.gap_calc
+        blocks = np.ascontiguousarray(table.blocks, np.int64)
+        chain_off = np.ascontiguousarray(table.block_offsets, np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.gat_subset_scores(
+            blocks.ctypes.data_as(i64p), chain_off.ctypes.data_as(i64p),
+            n, t_ptrs, q_ptrs, lut25.ctypes.data_as(i32p),
+            jobs.ctypes.data_as(i64p), n,
+            int(gc.small_size),
+            gc.q_small.ctypes.data_as(i64p),
+            gc.t_small.ctypes.data_as(i64p),
+            gc.b_small.ctypes.data_as(i64p),
+            gc.long_pos.ctypes.data_as(i64p), int(gc.long_pos.shape[0]),
+            np.ascontiguousarray(gc.q_long).ctypes.data_as(f64p),
+            np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
+            np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
+            out.ctypes.data_as(i64p),
+            min(os.cpu_count() or 1, 16))
+        return out[:, :3].astype(np.float64)
 
     def _all_blocks_memo(self, jobs) -> np.ndarray:
         """Concatenated int64 blocks across jobs, memoized by identity."""
