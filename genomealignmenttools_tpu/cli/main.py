@@ -60,8 +60,8 @@ def cmd_chain_sort(argv: list[str]) -> int:
 
     pos, opts = _parse_kent_args(argv)
     if len(pos) != 2:
-        print("usage: chainSort in.chain out.chain [-target|-query]",
-              file=sys.stderr)
+        print("usage: chainSort in.chain out.chain [-target|-query] "
+              "[-index=out.tab]", file=sys.stderr)
         return 255
     meta_lines: list[str] = []
     chains = read_chains(pos[0], meta_out=meta_lines.append)
@@ -74,11 +74,37 @@ def cmd_chain_sort(argv: list[str]) -> int:
     # meta lines are crossed during the read, before any chain is written
     # (chainSort.c:58), so they land at the top of the sorted output
     out = sys.stdout if pos[1] == "stdout" else open(pos[1], "w")
+    index = open(opts["index"], "w") if opts.get("index") else None
     try:
+        offset = 0
         for line in meta_lines:
             out.write(line + "\n")
-        write_chains(chains, out)
+            offset += len(line) + 1
+        if index is None:
+            write_chains(chains, out)
+        else:
+            # two-column index: hex output offset + key, on key change
+            # (chainSort.c:78-110; sentinels lastScore=-1, names="")
+            last_score, last_t, last_q = -1.0, "", ""
+            for c in chains:
+                if "target" in opts:
+                    if c.t_name != last_t:
+                        last_t = c.t_name
+                        index.write(f"{offset:x}\t{c.t_name}\n")
+                elif "query" in opts:
+                    if c.q_name != last_q:
+                        last_q = c.q_name
+                        index.write(f"{offset:x}\t{c.q_name}\n")
+                else:
+                    if c.score != last_score:
+                        last_score = c.score
+                        index.write(f"{offset:x}\t{c.score:.0f}\n")
+                text = c.to_text()
+                out.write(text)
+                offset += len(text)
     finally:
+        if index is not None:
+            index.close()
         if out is not sys.stdout:
             out.close()
     return 0
@@ -379,10 +405,11 @@ def cmd_axt_sort(argv):
     from ..engines.converters import axt_sort
     pos, opts = _parse_kent_args(argv)
     if len(pos) != 2:
-        print("usage: axtSort in.axt out.axt [-byScore]", file=sys.stderr)
+        print("usage: axtSort in.axt out.axt [-byScore] [-query]",
+              file=sys.stderr)
         return 255
     axt_sort(pos[0], sys.stdout if pos[1] == "stdout" else pos[1],
-             by_score="byScore" in opts)
+             by_score="byScore" in opts, by_query="query" in opts)
     return 0
 
 

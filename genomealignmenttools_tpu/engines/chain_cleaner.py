@@ -1394,7 +1394,10 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
             len(table) + np.arange(len(extra), dtype=np.int64)])
         cand_scores = np.concatenate([table.scores[pass_idx],
                                       extra_tab.scores])
-        order = cand[np.argsort(-cand_scores, kind="stable")]
+        # kent chainSort tie order is REVERSE file order (slAddHead +
+        # stable slSort): stable-argsort the reversed sequence
+        cand = cand[::-1]
+        order = cand[np.argsort(-cand_scores[::-1], kind="stable")]
         blob = ctab.serialize(order)
         with open(out_chain_path, "wb") as outf:
             for line in meta_lines:

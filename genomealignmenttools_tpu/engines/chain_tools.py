@@ -110,7 +110,10 @@ def chain_stitch_id(in_file: str, out) -> None:
     for c in chains:
         order = np.argsort(c.blocks[:, 0], kind="stable")
         c.blocks = c.blocks[order]
-    chains = sort_chains_by_score(chains)
+    # chainStitchId walks ids DESCENDING with slAddHead (chainStitchId.c:
+    # 93-100), so its list is ASCENDING by id before the stable score
+    # sort - ties stay ascending (unlike chainSort's reverse-file order)
+    chains = sorted(chains, key=lambda c: -c.score)
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     try:

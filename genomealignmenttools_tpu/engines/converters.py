@@ -147,11 +147,18 @@ def axt_to_psl(in_axt: str, t_sizes_file: str, q_sizes_file: str, out) -> None:
             f.close()
 
 
-def axt_sort(in_axt: str, out, by_score: bool = False) -> None:
-    """axtSort: sort by target position (or score desc with -byScore)."""
+def axt_sort(in_axt: str, out, by_score: bool = False,
+             by_query: bool = False) -> None:
+    """axtSort: sort by target position, -query position, or -byScore
+    desc (axtSort.c:38-43; -byScore wins when both are given)."""
     axts = read_axts(in_axt)
+    # kent reads with slAddHead + stable slSort (axtSort.c:36-43): ties
+    # emit in reverse file order
+    axts.reverse()
     if by_score:
         axts.sort(key=lambda a: -a.score)
+    elif by_query:
+        axts.sort(key=lambda a: (a.q_name, a.q_start))
     else:
         axts.sort(key=lambda a: (a.t_name, a.t_start))
     close = isinstance(out, str)

@@ -447,16 +447,19 @@ def write_chains(chains, path_or_file) -> None:
 # ---------------------------------------------------------------------------
 
 def sort_chains_by_score(chains: list[Chain]) -> list[Chain]:
-    """chainSort default: score descending; stable on ties (kent slSort is a
-    stable merge sort, so tie order is input order)."""
-    return sorted(chains, key=lambda c: -c.score)
+    """chainSort default: score descending.  kent reads chains with
+    slAddHead (reversing file order, chainSort.c:62-66) and slSort is a
+    stable merge sort - so ties emit in REVERSE input order."""
+    return sorted(reversed(chains), key=lambda c: -c.score)
 
 
 def sort_chains_by_target(chains: list[Chain]) -> list[Chain]:
-    """chainCmpTarget: (tName, tStart) ascending, stable."""
-    return sorted(chains, key=lambda c: (c.t_name, c.t_start))
+    """chainCmpTarget: (tName, tStart) ascending; ties in reverse input
+    order (slAddHead + stable slSort, see sort_chains_by_score)."""
+    return sorted(reversed(chains), key=lambda c: (c.t_name, c.t_start))
 
 
 def sort_chains_by_query(chains: list[Chain]) -> list[Chain]:
-    """chainCmpQuery: (qName, qStart) ascending, stable."""
-    return sorted(chains, key=lambda c: (c.q_name, c.q_start))
+    """chainCmpQuery: (qName, qStart) ascending; ties in reverse input
+    order (slAddHead + stable slSort, see sort_chains_by_score)."""
+    return sorted(reversed(chains), key=lambda c: (c.q_name, c.q_start))

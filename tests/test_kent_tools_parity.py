@@ -135,3 +135,24 @@ def test_net_to_axt(fixtures_dir, golden_dir):
         os.path.join(fixtures_dir, "target.2bit"),
         os.path.join(fixtures_dir, "query.2bit"), out)
     assert out.getvalue() == _golden(golden_dir, "netToAxt.axt")
+
+
+def test_chain_sort_tie_order_and_index(fixtures_dir, golden_dir, tmp_path):
+    """kent chainSort reads with slAddHead (reversing file order) before a
+    stable slSort, so equal-score chains emit in REVERSE input order
+    (chainSort.c:62-76); -index writes hex-offset/key pairs on key change
+    (chainSort.c:78-110).  Goldens from the rebuilt C binary."""
+    from genomealignmenttools_tpu.cli.main import main as cli_main
+    out = str(tmp_path / "sorted.chain")
+    rc = cli_main(["chainSort", os.path.join(fixtures_dir, "ties.chain"),
+                   out])
+    assert rc == 0
+    assert open(out).read() == open(
+        os.path.join(golden_dir, "chainSort.ties.chain")).read()
+    idx = str(tmp_path / "score.idx")
+    rc = cli_main(["chainSort", os.path.join(fixtures_dir,
+                                             "synthetic.chain"),
+                   str(tmp_path / "s.chain"), f"-index={idx}"])
+    assert rc == 0
+    assert open(idx).read() == open(
+        os.path.join(golden_dir, "chainSort.score.idx")).read()
