@@ -973,39 +973,81 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
         # sub-chain is cut on host and the whole set is scored in one
         # device round trip (the -rescore hook, chainNet.c:832-835, is
         # per-fill sequential in the reference)
-        jobs: list[Chain] = []
-        keys: list[tuple[int, int, int]] = []
-        idxs: list[int] = []
         native_tree = isinstance(netter, NativeNetTree)
-        fill_iter = (netter.iter_fills_idx(is_q=False) if native_tree
-                     else ((None, f) for f in netter.iter_fills(is_q=False)))
-        for idx, fill in fill_iter:
-            chain = fill.chain
-            if fill.start <= chain.t_start and fill.end >= chain.t_end:
-                continue  # full cover: chain.score is used directly
-            sub = chain.subset_on_t(fill.start, fill.end)
-            if sub is None:
-                continue
-            jobs.append(sub)
-            keys.append((chain, fill.start, fill.end))
-            idxs.append(idx)
-        scored = scorer.score_chains(jobs)
-        if native_tree:
-            # node-indexed score overrides feed the native writer directly
-            t_override = np.full(netter.nodes_t.shape[0], np.nan)
-            for idx, s_ in zip(idxs, scored):
-                t_override[idx] = s_[0]
-        # key on (id, start, end) but pin the chain object in the value so
-        # a GC'd chain can never alias a reused id()
-        by_key = {(id(c), s, e): (c, s_[0])
-                  for (c, s, e), s_ in zip(keys, scored)}
+        dev = getattr(scorer, "_dev", None)
+        host_backed = dev is not None and getattr(dev, "host_native", False)
+        lib = None
+        if native_tree and host_backed and \
+                isinstance(netter.chains, LazyChains):
+            from ..native import get_lib
+            lib = get_lib()
+            if lib is not None and not hasattr(lib, "gat_subset_scores"):
+                lib = None
+        if lib is not None:
+            # all-host fast path: every non-full-cover fill becomes one
+            # (chain_row, start, end) job for the fused native
+            # subset+score pass; no python Chain/subset objects at all
+            from ..ops.rescore import (lut25_of, native_subset_scores,
+                                       table_row_code_ptrs)
+            nodes = netter.nodes_t
+            fill_idx = np.flatnonzero(nodes[:, 0] == 0)
+            cidx = nodes[fill_idx, 6]
+            s_arr = nodes[fill_idx, 2]
+            e_arr = nodes[fill_idx, 3]
+            headers = netter._chain_arrays()[2]  # (tS,tE,qS,qE,qSize)
+            partial = ~((s_arr <= headers[cidx, 0])
+                        & (e_arr >= headers[cidx, 1]))
+            jobs = np.stack([cidx[partial], s_arr[partial],
+                             e_arr[partial]], axis=1)
+            chains_fac = netter.chains  # LazyChains over (table, sel)
+            t_ptrs, q_ptrs, keepalive = table_row_code_ptrs(
+                chains_fac.table, chains_fac.sel,
+                scorer.t_genome, scorer.q_genome)
+            out = native_subset_scores(
+                lib, netter._blocks, netter._block_off, t_ptrs, q_ptrs,
+                lut25_of(scorer.scheme.lut), scorer.gap_calc, jobs)
+            del keepalive
+            t_override = np.full(nodes.shape[0], np.nan)
+            exists = out[:, 3] != 0
+            t_override[fill_idx[partial][exists]] = \
+                out[exists, 0].astype(np.float64)
 
-        def rescorer(chain: Chain, start: int, end: int,
-                     _by_key=by_key) -> float:
-            hit = _by_key.get((id(chain), start, end))
-            if hit is not None and hit[0] is chain:
-                return hit[1]
-            return scorer.global_score(chain.subset_on_t(start, end))
+            def rescorer(chain: Chain, start: int, end: int) -> float:
+                return scorer.global_score(chain.subset_on_t(start, end))
+        else:
+            jobs = []
+            keys: list[tuple[int, int, int]] = []
+            idxs: list[int] = []
+            fill_iter = (netter.iter_fills_idx(is_q=False) if native_tree
+                         else ((None, f)
+                               for f in netter.iter_fills(is_q=False)))
+            for idx, fill in fill_iter:
+                chain = fill.chain
+                if fill.start <= chain.t_start and fill.end >= chain.t_end:
+                    continue  # full cover: chain.score is used directly
+                sub = chain.subset_on_t(fill.start, fill.end)
+                if sub is None:
+                    continue
+                jobs.append(sub)
+                keys.append((chain, fill.start, fill.end))
+                idxs.append(idx)
+            scored = scorer.score_chains(jobs)
+            if native_tree:
+                # node-indexed score overrides feed the native writer
+                t_override = np.full(netter.nodes_t.shape[0], np.nan)
+                for idx, s_ in zip(idxs, scored):
+                    t_override[idx] = s_[0]
+            # key on (id, start, end) but pin the chain object in the value
+            # so a GC'd chain can never alias a reused id()
+            by_key = {(id(c), s, e): (c, s_[0])
+                      for (c, s, e), s_ in zip(keys, scored)}
+
+            def rescorer(chain: Chain, start: int, end: int,
+                         _by_key=by_key) -> float:
+                hit = _by_key.get((id(chain), start, end))
+                if hit is not None and hit[0] is chain:
+                    return hit[1]
+                return scorer.global_score(chain.subset_on_t(start, end))
     if isinstance(netter, NativeNetTree):
         netter.output_side(t_net_out, is_q=False, rescorer=rescorer,
                            score_override=t_override)

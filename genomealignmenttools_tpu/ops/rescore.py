@@ -442,64 +442,18 @@ class DeviceChainScorer:
         return results
 
     def _score_table_native(self, lib, table, t_ids, names, q_ids, qnames):
-        import ctypes
         n = len(table)
-        minus = table.strands == ord("-")
-        # per-unique (name, strand) code pointers, fanned to rows (the
-        # name table is shared between t and q columns - decode only the
-        # ids each side actually uses)
-        t_arrs = {j: np.ascontiguousarray(self.t_genome.codes(names[j], "+"))
-                  for j in set(t_ids.tolist())}
-        q_plus = {}
-        q_minus = {}
-        for j in set(q_ids.tolist()):
-            rows_j = q_ids == j
-            if (rows_j & ~minus).any():
-                q_plus[j] = np.ascontiguousarray(
-                    self.q_genome.codes(qnames[j], "+"))
-            if (rows_j & minus).any():
-                q_minus[j] = np.ascontiguousarray(
-                    self.q_genome.codes(qnames[j], "-"))
-        t_ptrs = (ctypes.c_void_p * n)()
-        q_ptrs = (ctypes.c_void_p * n)()
-        t_ptr_of = {j: a.ctypes.data for j, a in t_arrs.items()}
-        qp_ptr = {j: a.ctypes.data for j, a in q_plus.items()}
-        qm_ptr = {j: a.ctypes.data for j, a in q_minus.items()}
-        mlist = minus.tolist()
-        qlist = q_ids.tolist()
-        for i, tj in enumerate(t_ids.tolist()):
-            t_ptrs[i] = t_ptr_of[tj]
-            q_ptrs[i] = qm_ptr[qlist[i]] if mlist[i] else qp_ptr[qlist[i]]
+        sel = np.arange(n)
+        t_ptrs, q_ptrs, keepalive = table_row_code_ptrs(
+            table, sel, self.t_genome, self.q_genome)
         jobs = np.empty((n, 3), np.int64)
-        jobs[:, 0] = np.arange(n)
+        jobs[:, 0] = sel
         jobs[:, 1] = table.header[:, 1]  # t_start: full cover
         jobs[:, 2] = table.header[:, 2]  # t_end
-        lut25 = np.zeros(25, np.int32)
-        lut = np.asarray(self.scheme.lut)
-        for qv in range(min(5, lut.shape[0])):
-            for tv in range(min(5, lut.shape[1])):
-                lut25[qv * 5 + tv] = lut[qv, tv]
-        out = np.empty((n, 4), np.int64)
-        gc = self.gap_calc
-        blocks = np.ascontiguousarray(table.blocks, np.int64)
-        chain_off = np.ascontiguousarray(table.block_offsets, np.int64)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f64p = ctypes.POINTER(ctypes.c_double)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        lib.gat_subset_scores(
-            blocks.ctypes.data_as(i64p), chain_off.ctypes.data_as(i64p),
-            n, t_ptrs, q_ptrs, lut25.ctypes.data_as(i32p),
-            jobs.ctypes.data_as(i64p), n,
-            int(gc.small_size),
-            gc.q_small.ctypes.data_as(i64p),
-            gc.t_small.ctypes.data_as(i64p),
-            gc.b_small.ctypes.data_as(i64p),
-            gc.long_pos.ctypes.data_as(i64p), int(gc.long_pos.shape[0]),
-            np.ascontiguousarray(gc.q_long).ctypes.data_as(f64p),
-            np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
-            np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
-            out.ctypes.data_as(i64p),
-            min(os.cpu_count() or 1, 16))
+        out = native_subset_scores(lib, table.blocks, table.block_offsets,
+                                   t_ptrs, q_ptrs, lut25_of(self.scheme.lut),
+                                   self.gap_calc, jobs)
+        del keepalive
         return out[:, :3].astype(np.float64)
 
     def _all_blocks_memo(self, jobs) -> np.ndarray:
@@ -560,6 +514,84 @@ def auto_scorer_factory():
     if backend != "cpu":
         return DeviceChainScorer
     return None
+
+
+def lut25_of(scheme_lut) -> np.ndarray:
+    """Flat 5x5 int32 LUT indexed [q*5+t] (native scoring layout)."""
+    lut25 = np.zeros(25, np.int32)
+    lut = np.asarray(scheme_lut)
+    for qv in range(min(5, lut.shape[0])):
+        for tv in range(min(5, lut.shape[1])):
+            lut25[qv * 5 + tv] = lut[qv, tv]
+    return lut25
+
+
+def table_row_code_ptrs(table, sel, t_genome, q_genome):
+    """Per-row genome code pointers for ChainTable rows `sel`.
+
+    Returns (t_ptrs, q_ptrs, keepalive): ctypes pointer arrays indexed by
+    position within sel, plus the list of arrays that must stay alive for
+    the duration of the native call."""
+    import ctypes
+    (t_ids, names), (q_ids, qnames) = table.names_factorized()
+    t_ids = t_ids[sel]
+    q_ids = q_ids[sel]
+    minus = table.strands[sel] == ord("-")
+    t_arrs = {j: np.ascontiguousarray(t_genome.codes(names[j], "+"))
+              for j in set(t_ids.tolist())}
+    q_plus, q_minus = {}, {}
+    for j in set(q_ids.tolist()):
+        rows_j = q_ids == j
+        if (rows_j & ~minus).any():
+            q_plus[j] = np.ascontiguousarray(q_genome.codes(qnames[j], "+"))
+        if (rows_j & minus).any():
+            q_minus[j] = np.ascontiguousarray(q_genome.codes(qnames[j], "-"))
+    n = int(sel.shape[0])
+    t_ptrs = (ctypes.c_void_p * n)()
+    q_ptrs = (ctypes.c_void_p * n)()
+    t_ptr_of = {j: a.ctypes.data for j, a in t_arrs.items()}
+    qp_ptr = {j: a.ctypes.data for j, a in q_plus.items()}
+    qm_ptr = {j: a.ctypes.data for j, a in q_minus.items()}
+    mlist = minus.tolist()
+    qlist = q_ids.tolist()
+    for i, tj in enumerate(t_ids.tolist()):
+        t_ptrs[i] = t_ptr_of[tj]
+        q_ptrs[i] = qm_ptr[qlist[i]] if mlist[i] else qp_ptr[qlist[i]]
+    keepalive = (list(t_arrs.values()) + list(q_plus.values())
+                 + list(q_minus.values()))
+    return t_ptrs, q_ptrs, keepalive
+
+
+def native_subset_scores(lib, blocks, chain_off, t_ptrs, q_ptrs, lut25,
+                         gap_calc, jobs_arr) -> np.ndarray:
+    """gat_subset_scores: fused chainSubsetOnT + scoring over (row, t_lo,
+    t_hi) jobs; returns (n_jobs, 4) int64 [global, local, ali, exists]."""
+    import ctypes
+    blocks = np.ascontiguousarray(blocks, np.int64)
+    chain_off = np.ascontiguousarray(chain_off, np.int64)
+    jobs_arr = np.ascontiguousarray(jobs_arr, np.int64)
+    lut25 = np.ascontiguousarray(lut25, np.int32)
+    out = np.empty((jobs_arr.shape[0], 4), np.int64)
+    gc = gap_calc
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.gat_subset_scores(
+        blocks.ctypes.data_as(i64p), chain_off.ctypes.data_as(i64p),
+        chain_off.shape[0] - 1, t_ptrs, q_ptrs,
+        lut25.ctypes.data_as(i32p),
+        jobs_arr.ctypes.data_as(i64p), jobs_arr.shape[0],
+        int(gc.small_size),
+        gc.q_small.ctypes.data_as(i64p),
+        gc.t_small.ctypes.data_as(i64p),
+        gc.b_small.ctypes.data_as(i64p),
+        gc.long_pos.ctypes.data_as(i64p), int(gc.long_pos.shape[0]),
+        np.ascontiguousarray(gc.q_long).ctypes.data_as(f64p),
+        np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
+        np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
+        out.ctypes.data_as(i64p),
+        min(os.cpu_count() or 1, 16))
+    return out
 
 
 def _native_combine(lib, chunk_scores: np.ndarray, c_block: np.ndarray,
