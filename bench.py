@@ -289,15 +289,33 @@ for _ in range(3):
     t0 = time.time()
     assert run_once() == checksum
     times.append(time.time() - t0)
-print(json.dumps({{"best_s": min(times), "perf": perf_snapshot()}}))
+# link physics: dispatch round trip + h2d bandwidth, so the roofline
+# numbers are attributable (tunnel floor vs kernel floor)
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.zeros(8, jnp.float32)
+f = jax.jit(lambda a: a + 1)
+f(x).block_until_ready()
+t0 = time.time()
+for _ in range(20):
+    f(x).block_until_ready()
+rtt_ms = (time.time() - t0) / 20 * 1000
+a = np.zeros(32 * 1024 * 1024, np.uint8)
+t0 = time.time()
+jax.device_put(a).block_until_ready()
+h2d_gbs = a.nbytes / (time.time() - t0) / 1e9
+print(json.dumps({{"best_s": min(times), "perf": perf_snapshot(),
+                   "link": {{"dispatch_rtt_ms": round(rtt_ms, 3),
+                             "h2d_gbs": round(h2d_gbs, 2)}}}}))
 """
     best_s = None
+    link = None
     perf = {"dispatches": None, "h2d_bytes": None, "d2h_bytes": None}
     backend = "device(pair)"
     dev = _device_run(snippet)
     if isinstance(dev, dict):
         best_s = dev["best_s"]
         perf = dev["perf"]
+        link = dev.get("link")
     else:
         backend = "hostnative"
         env_save = os.environ.get("GAT_RESCORE")
@@ -344,6 +362,7 @@ print(json.dumps({{"best_s": min(times), "perf": perf_snapshot()}}))
                 "n_dispatches_3runs": perf["dispatches"],
                 "h2d_bytes_3runs": perf["h2d_bytes"],
                 "d2h_bytes_3runs": perf["d2h_bytes"],
+                "link": link,
             }}
 
 
