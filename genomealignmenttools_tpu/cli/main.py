@@ -284,13 +284,12 @@ def cmd_net_syntenic(argv):
 
 
 def cmd_net_filter(argv):
-    from ..engines.net_tools import net_filter, BIGNUM
+    from ..engines.net_tools import BIGNUM, net_filter, net_filter_line
     pos, o = _parse_kent_args(argv)
     if not pos:
         print("usage: netFilter in.net... [options] > out.net", file=sys.stderr)
         return 255
-    net_filter(
-        pos, sys.stdout,
+    kw = dict(
         q=o.get("q"), not_q=o.get("notQ"), t=o.get("t"), not_t=o.get("notT"),
         min_score=float(o.get("minScore", -BIGNUM)),
         max_score=float(o.get("maxScore", 9e99)),
@@ -298,6 +297,18 @@ def cmd_net_filter(argv):
         max_ali=int(o.get("maxAli", 0)),
         min_size_t=int(o.get("minSizeT", 0)),
         min_size_q=int(o.get("minSizeQ", 0)),
+        q_start_min=int(o.get("qStartMin", -BIGNUM)),
+        q_start_max=int(o.get("qStartMax", BIGNUM)),
+        q_end_min=int(o.get("qEndMin", -BIGNUM)),
+        q_end_max=int(o.get("qEndMax", BIGNUM)),
+        t_start_min=int(o.get("tStartMin", -BIGNUM)),
+        t_start_max=int(o.get("tStartMax", BIGNUM)),
+        t_end_min=int(o.get("tEndMin", -BIGNUM)),
+        t_end_max=int(o.get("tEndMax", BIGNUM)),
+        q_overlap_start=int(o.get("qOverlapStart", -BIGNUM)),
+        q_overlap_end=int(o.get("qOverlapEnd", BIGNUM)),
+        t_overlap_start=int(o.get("tOverlapStart", -BIGNUM)),
+        t_overlap_end=int(o.get("tOverlapEnd", BIGNUM)),
         syn="syn" in o, non_syn="nonsyn" in o, chimp_syn="chimpSyn" in o,
         min_top_score=float(o.get("minTopScore", 300000)),
         min_syn_score=float(o.get("minSynScore", 200000)),
@@ -306,6 +317,10 @@ def cmd_net_filter(argv):
         max_far=float(o.get("maxFar", 200000)),
         fill_only="fill" in o, gap_only="gap" in o,
         types=o.get("type"), no_random="noRandom" in o, no_hap="noHap" in o)
+    if "line" in o:
+        net_filter_line(pos, sys.stdout, **kw)
+    else:
+        net_filter(pos, sys.stdout, **kw)
     return 0
 
 

@@ -325,6 +325,40 @@ def net_filter(in_files: list[str], out, **kw) -> None:
             f.close()
 
 
+def net_filter_line(in_files: list[str], out, **kw) -> None:
+    """netFilter -line (netLineFilter, netFilter.c:320-345): judge each
+    fill/gap line on its own - no recursion, no subtree pruning; every
+    other line (net headers, comments) passes through verbatim.  Matching
+    lines are re-serialized via cnFillWrite semantics at their original
+    indentation."""
+    from ..formats.net import _format_fill, _parse_fill_line
+    o = NetFilterOptions(**kw)
+    for key in ("q", "not_q", "t", "not_t"):
+        v = getattr(o, key)
+        if isinstance(v, str):
+            setattr(o, key, set(v.split(",")))
+    if isinstance(o.types, str):
+        o.types = set(o.types.split(","))
+    close = isinstance(out, str)
+    f = open(out, "w") if close else out
+    try:
+        for path in in_files:
+            with open(path) as src:
+                for raw in src:
+                    line = raw.rstrip("\n")
+                    d = len(line) - len(line.lstrip(" "))
+                    body = line[d:]
+                    if body.startswith("fill") or body.startswith("gap"):
+                        fill = _parse_fill_line(body)
+                        if _filter_one(fill, o):
+                            f.write(" " * d + _format_fill(fill) + "\n")
+                    else:
+                        f.write(line + "\n")
+    finally:
+        if close:
+            f.close()
+
+
 # ---------------------------------------------------------------------------
 # netToBed / netSplit
 # ---------------------------------------------------------------------------

@@ -156,3 +156,23 @@ def test_chain_sort_tie_order_and_index(fixtures_dir, golden_dir, tmp_path):
     assert rc == 0
     assert open(idx).read() == open(
         os.path.join(golden_dir, "chainSort.score.idx")).read()
+
+
+def test_net_filter_line_and_coord_modes(golden_dir, tmp_path, capsys):
+    """netFilter -line (per-line, no recursion; netFilter.c:320-345) and
+    the coordinate-window flags (qStartMin/tEndMax/qOverlap*/...,
+    netFilter.c:258-269).  Goldens from the rebuilt C binary over the
+    chainNet target net."""
+    from genomealignmenttools_tpu.cli.main import main as cli_main
+    src = os.path.join(golden_dir, "chainNet.target.net")
+    for args, golden in [
+            (["-line", "-minScore=50000"], "netFilter.line.net"),
+            (["-line", "-gap", "-minGap=100"], "netFilter.gapline.net"),
+            (["-tStartMin=100000", "-tEndMax=900000"],
+             "netFilter.coord.net"),
+            (["-qOverlapStart=200000", "-qOverlapEnd=700000"],
+             "netFilter.overlap.net")]:
+        rc = cli_main(["netFilter", src] + args)
+        assert rc == 0
+        got = capsys.readouterr().out
+        assert got == open(os.path.join(golden_dir, golden)).read(), args
