@@ -213,10 +213,16 @@ def cmd_chain_split(argv):
 def cmd_chain_merge_sort(argv):
     from ..engines.chain_tools import chain_merge_sort
     pos, opts = _parse_kent_args(argv)
+    if "inputList" in opts:
+        with open(opts["inputList"]) as f:
+            pos += [ln.strip() for ln in f if ln.strip()]
     if not pos:
-        print("usage: chainMergeSort file(s) [-saveId] > out.chain",
+        print("usage: chainMergeSort file(s) [-saveId] "
+              "[-inputList=somefile] [-tempDir=somedir/] > out.chain",
               file=sys.stderr)
         return 255
+    # -tempDir accepted for compatibility: the in-memory k-way merge
+    # needs no temp files (chainMergeSort.c sorts via a temp hierarchy)
     chain_merge_sort(pos, sys.stdout, save_id="saveId" in opts)
     return 0
 
@@ -352,13 +358,15 @@ def cmd_net_to_axt(argv):
     pos, opts = _parse_kent_args(argv)
     if len(pos) != 5:
         print("usage: netToAxt in.net in.chain t.2bit q.2bit out.axt "
-              "[-maxGap=N] [-qChain] [-noSplit]", file=sys.stderr)
+              "[-maxGap=N] [-qChain] [-noSplit] [-gapOut=gap.tab]",
+              file=sys.stderr)
         return 255
     net_to_axt(pos[0], pos[1], pos[2], pos[3],
                sys.stdout if pos[4] == "stdout" else pos[4],
                max_gap=int(opts.get("maxGap", 100)),
                q_chain="qChain" in opts,
-               split_on_insert="noSplit" not in opts)
+               split_on_insert="noSplit" not in opts,
+               gap_out=opts.get("gapOut"))
     return 0
 
 

@@ -418,8 +418,12 @@ def net_split(in_net: str, out_dir: str) -> None:
 
 def net_to_axt(net_file: str, chain_file: str, t_2bit: str, q_2bit: str, out,
                max_gap: int = 100, q_chain: bool = False,
-               split_on_insert: bool = True) -> None:
-    """netToAxt: subset chains by net fills, split at child inserts."""
+               split_on_insert: bool = True,
+               gap_out: str | None = None) -> None:
+    """netToAxt: subset chains by net fills, split at child inserts.
+
+    gap_out: two-column dt/dq gap sizes of every written (sub)chain
+    (writeGaps, netToAxt.c:49-58), emitted before that chain's axts."""
     from ..formats.axt import write_axts
     from ..formats.net import mark_used_chain_ids
 
@@ -434,6 +438,7 @@ def net_to_axt(net_file: str, chain_file: str, t_2bit: str, q_2bit: str, out,
             chains[chain.id] = chain.swapped() if q_chain else chain
     t_genome = _CharGenome(t_2bit)
     q_genome = _CharGenome(q_2bit)
+    gap_file = open(gap_out, "w") if gap_out else None
 
     axts = []
 
@@ -441,6 +446,11 @@ def net_to_axt(net_file: str, chain_file: str, t_2bit: str, q_2bit: str, out,
         sub = chain.subset_on_t(t_start, t_end)
         if sub is None:
             raise ValueError(f"null subchain in chain ID {chain.id}")
+        if gap_file is not None:
+            b = sub.blocks
+            for j in range(1, b.shape[0]):
+                gap_file.write(f"{b[j, 0] - b[j - 1, 1]}\t"
+                               f"{b[j, 2] - b[j - 1, 3]}\n")
         t_chars = t_genome.chars(chain.t_name, "+")
         q_chars = q_genome.chars(chain.q_name, chain.q_strand)
         axts.extend(chain_to_axt_records(sub, q_chars, 0, t_chars, 0, max_gap))
@@ -483,5 +493,7 @@ def net_to_axt(net_file: str, chain_file: str, t_2bit: str, q_2bit: str, out,
             f.write(line + "\n")
         write_axts(axts, f)
     finally:
+        if gap_file is not None:
+            gap_file.close()
         if close:
             f.close()

@@ -176,3 +176,34 @@ def test_net_filter_line_and_coord_modes(golden_dir, tmp_path, capsys):
         assert rc == 0
         got = capsys.readouterr().out
         assert got == open(os.path.join(golden_dir, golden)).read(), args
+
+
+def test_net_to_axt_gap_out(fixtures_dir, golden_dir, tmp_path):
+    """netToAxt -gapOut: two-column dt/dq gap sizes per written subchain
+    (writeGaps, netToAxt.c:49-58); golden from the rebuilt C binary."""
+    from genomealignmenttools_tpu.cli.main import main as cli_main
+    gap = str(tmp_path / "gap.tab")
+    rc = cli_main(["netToAxt", os.path.join(golden_dir, "chainNet.target.net"),
+                   os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+                   os.path.join(fixtures_dir, "target.2bit"),
+                   os.path.join(fixtures_dir, "query.2bit"),
+                   str(tmp_path / "out.axt"), f"-gapOut={gap}"])
+    assert rc == 0
+    assert open(gap).read() == open(
+        os.path.join(golden_dir, "netToAxt.gap.tab")).read()
+
+
+def test_chain_merge_sort_input_list(fixtures_dir, golden_dir, tmp_path,
+                                     capsys):
+    """chainMergeSort -inputList reads the file set from a list file
+    (chainMergeSort.c usage)."""
+    from genomealignmenttools_tpu.cli.main import main as cli_main
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(
+        os.path.join(fixtures_dir, f"mergepart{i}.chain")
+        for i in range(3)) + "\n")
+    rc = cli_main(["chainMergeSort", f"-inputList={lst}"])
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert got == open(os.path.join(golden_dir,
+                                    "chainMergeSort.chain")).read()
