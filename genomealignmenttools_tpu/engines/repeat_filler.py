@@ -276,14 +276,14 @@ def repeat_filler_main(argv: list[str]) -> int:
     p.add_argument("-T2", "--T2bit", required=True)
     p.add_argument("-Q2", "--Q2bit", required=True)
     p.add_argument("-o", "--output", default=None)
-    p.add_argument("--chainMinScore", type=int, default=0)
-    p.add_argument("--chainMinSizeT", type=int, default=0)
-    p.add_argument("--chainMinSizeQ", type=int, default=0)
-    p.add_argument("--gapMinSizeT", type=int, default=10)
-    p.add_argument("--gapMinSizeQ", type=int, default=10)
-    p.add_argument("--gapMaxSizeT", type=int, default=100000)
-    p.add_argument("--gapMaxSizeQ", type=int, default=100000)
-    p.add_argument("--scoreThreshold", type=int, default=2000)
+    p.add_argument("-mscore", "--chainMinScore", type=int, default=0)
+    p.add_argument("-mst", "--chainMinSizeT", type=int, default=0)
+    p.add_argument("-msq", "--chainMinSizeQ", type=int, default=0)
+    p.add_argument("-gmint", "--gapMinSizeT", type=int, default=10)
+    p.add_argument("-gminq", "--gapMinSizeQ", type=int, default=10)
+    p.add_argument("-gmaxt", "--gapMaxSizeT", type=int, default=100000)
+    p.add_argument("-gmaxq", "--gapMaxSizeQ", type=int, default=100000)
+    p.add_argument("-st", "--scoreThreshold", type=int, default=2000)
     p.add_argument("--seedLen", type=int, default=6)
     p.add_argument("--hspThreshold", type=int, default=1500)
     p.add_argument("--refQuirks", action="store_true",
@@ -292,16 +292,18 @@ def repeat_filler_main(argv: list[str]) -> int:
                    help="comma-separated chain ids to patch (only those "
                         "chains are output, like the reference)")
     p.add_argument("--idListFile", type=str, default=None)
-    p.add_argument("--lastzParameters", type=str, default=None,
+    p.add_argument("-lparam", "--lastzParameters", type=str,
+                   default=None,
                    help="lastz-style 'K=... W=...' string; K maps to "
                         "hspThreshold, W to seedLen")
     # accepted for drop-in compatibility; meaningless in-process
     p.add_argument("--index", "-ix", type=str, default=None)
     p.add_argument("--workdir", "-w", type=str, default=None)
-    p.add_argument("--lastz", "--axtChain", "--chainExtractID",
+    p.add_argument("-l", "--lastz", "-x", "--axtChain", "-s",
+                   "--chainSort", "-cid", "--chainExtractID",
                    "--chainSort", type=str, default=None,
                    help="external binary paths (unused: in-process)")
-    p.add_argument("--unmask", action="store_true",
+    p.add_argument("-um", "--unmask", action="store_true",
                    help="align ignoring soft-mask (always on: the seed/"
                         "extend stage works on unmasked codes)")
     p.add_argument("--numShards", type=int, default=1,
