@@ -146,7 +146,8 @@ def cmd_chain_pre_net(argv):
         return 255
     chain_pre_net(pos[0], pos[1], pos[2],
                   sys.stdout if pos[3] == "stdout" else pos[3],
-                  pad=int(opts.get("pad", 1)), incl_hap="inclHap" in opts)
+                  pad=int(opts.get("pad", 1)), incl_hap="inclHap" in opts,
+                  dots=int(opts.get("dots", 0)))
     return 0
 
 
@@ -258,9 +259,13 @@ def cmd_chain_to_axt(argv):
         print("usage: chainToAxt in.chain t.2bit q.2bit out.axt [-maxGap=N]",
               file=sys.stderr)
         return 255
+    opts.get("maxChain")  # parsed but dead in the reference (chainToAxt.c:108)
     chain_to_axt(pos[0], pos[1], pos[2],
                  sys.stdout if pos[3] == "stdout" else pos[3],
-                 max_gap=int(opts.get("maxGap", 100)))
+                 max_gap=int(opts.get("maxGap", 100)),
+                 min_score=float(opts.get("minScore", 0)),
+                 min_id=float(opts.get("minId", 0)),
+                 bed_out="bed" in opts)
     return 0
 
 

@@ -51,17 +51,28 @@ class _BitChrom:
 
 
 def chain_pre_net(in_file: str, t_sizes_file: str, q_sizes_file: str, out,
-                  pad: int = 1, incl_hap: bool = False) -> None:
+                  pad: int = 1, incl_hap: bool = False, dots: int = 0) -> None:
     """chainPreNet: keep a chain iff any block covers an unused base on
-    either side; then mark its blocks used (with pad)."""
+    either side; then mark its blocks used (with pad).
+
+    dots: progress dot to stdout every N chains read (chainPreNet.c:51-64,
+    155: static dotMod starts at 0, so the first chain always dots)."""
+    import sys as _sys
     t_chroms = {n: _BitChrom(s) for n, s in read_chrom_sizes(t_sizes_file).items()}
     q_chroms = {n: _BitChrom(s) for n, s in read_chrom_sizes(q_sizes_file).items()}
     close = isinstance(out, str)
     f = open(out, "w") if close else out
+    dot_mod = 0
     try:
         last_score = float("inf")
         meta = _meta_writer(f)
         for chain in iter_chains(in_file, meta_out=meta):
+            if dots > 0:
+                dot_mod -= 1
+                if dot_mod <= 0:
+                    dot_mod = dots
+                    _sys.stdout.write(".")
+                    _sys.stdout.flush()
             if chain.score > last_score:
                 raise ValueError(f"{in_file} not sorted by score")
             last_score = chain.score
@@ -538,22 +549,61 @@ class _CharGenome:
         return self.tbf.read_seq(name).size
 
 
+def _axt_id_ratio(axt) -> float:
+    """axtIdRatio (chainToAxt.c:70-89): match/aligned fraction over
+    non-indel columns, case-blind; 0.0 when there are no matches."""
+    match = ali = 0
+    for q, t in zip(axt.q_sym.upper(), axt.t_sym.upper()):
+        if q != "-" and t != "-":
+            ali += 1
+            if q == t:
+                match += 1
+    if match == 0:
+        return 0.0
+    return match / ali
+
+
 def chain_to_axt(in_file: str, t_2bit: str, q_2bit: str, out,
-                 max_gap: int = 100) -> None:
-    """chainToAxt tool."""
+                 max_gap: int = 100, min_score: float = 0.0,
+                 min_id: float = 0.0, bed_out: bool = False) -> None:
+    """chainToAxt tool (chainToAxt.c:146-159).
+
+    min_score filters whole chains (chainToAxt.c:138); min_id is a percent
+    filter per axt record via minIdRatio = minId/100 <= idRatio
+    (chainToAxt.c:113-114, 152); bed_out emits
+    ``tName tStart tEnd qName idPpt strand`` with idPpt = (int)(idRatio*1000)
+    (chainToAxt.c:91-101).  The reference's -maxChain flag is parsed but
+    dead — doAChain always passes BIGNUM (chainToAxt.c:108) — so we accept
+    it at the CLI and ignore it the same way."""
     from ..formats.axt import write_axts
     t_genome = _CharGenome(t_2bit)
     q_genome = _CharGenome(q_2bit)
+    min_id_ratio = min_id / 100.0
     axts = []
+    bed_lines = []
     for chain in iter_chains(in_file):
+        if chain.score < min_score:
+            continue
         t_chars = t_genome.chars(chain.t_name, "+")
         q_chars = q_genome.chars(chain.q_name, chain.q_strand)
-        axts.extend(chain_to_axt_records(chain, q_chars, 0, t_chars, 0,
-                                         max_gap))
+        for axt in chain_to_axt_records(chain, q_chars, 0, t_chars, 0,
+                                        max_gap):
+            id_ratio = _axt_id_ratio(axt)
+            if min_id_ratio <= id_ratio:
+                if bed_out:
+                    bed_lines.append(
+                        f"{axt.t_name}\t{axt.t_start}\t{axt.t_end}\t"
+                        f"{axt.q_name}\t{int(id_ratio * 1000)}\t"
+                        f"{axt.q_strand}\n")
+                else:
+                    axts.append(axt)
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     try:
-        write_axts(axts, f)
+        if bed_out:
+            f.writelines(bed_lines)
+        else:
+            write_axts(axts, f)
     finally:
         if close:
             f.close()

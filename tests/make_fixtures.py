@@ -429,6 +429,14 @@ def main():
          os.path.join(GOLD, "chainSwap.chain")])
     run([os.path.join(KB, "chainToAxt"), sorted_chain, t2bit, q2bit,
          os.path.join(GOLD, "chainToAxt.axt")])
+    run([os.path.join(KB, "chainToAxt"), "-minId=60", "-minScore=1000",
+         sorted_chain, t2bit, q2bit, os.path.join(GOLD, "chainToAxt.minid.axt")])
+    run([os.path.join(KB, "chainToAxt"), "-bed", sorted_chain, t2bit, q2bit,
+         os.path.join(GOLD, "chainToAxt.bed")])
+    with open(os.path.join(GOLD, "chainPreNet.dots.txt"), "w") as dots_f:
+        subprocess.run([os.path.join(KB, "chainPreNet"), "-dots=3",
+                        sorted_chain, tsz, qsz, os.devnull],
+                       stdout=dots_f, check=True)
     run([os.path.join(KB, "chainAntiRepeat"), t2bit, q2bit, sorted_chain,
          os.path.join(GOLD, "chainAntiRepeat.chain")])
 

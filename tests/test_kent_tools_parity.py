@@ -38,6 +38,35 @@ def test_chain_to_axt(fixtures_dir, golden_dir):
     assert out.getvalue() == _golden(golden_dir, "chainToAxt.axt")
 
 
+def test_chain_to_axt_min_id_min_score(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_to_axt(
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"), out,
+        min_id=60, min_score=1000)
+    assert out.getvalue() == _golden(golden_dir, "chainToAxt.minid.axt")
+
+
+def test_chain_to_axt_bed(fixtures_dir, golden_dir):
+    out = io.StringIO()
+    chain_tools.chain_to_axt(
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"), out, bed_out=True)
+    assert out.getvalue() == _golden(golden_dir, "chainToAxt.bed")
+
+
+def test_chain_pre_net_dots(fixtures_dir, golden_dir, capsys):
+    out = io.StringIO()
+    chain_tools.chain_pre_net(
+        os.path.join(fixtures_dir, SORTED),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out, dots=3)
+    assert out.getvalue() == _golden(golden_dir, "chainPreNet.chain")
+    assert capsys.readouterr().out == _golden(golden_dir, "chainPreNet.dots.txt")
+
+
 def test_chain_anti_repeat(fixtures_dir, golden_dir):
     out = io.StringIO()
     chain_tools.chain_anti_repeat(
