@@ -41,7 +41,7 @@ def _have_ref():
             and os.path.exists(os.path.join(KENT_BIN, "chainSort")))
 
 
-def _device_run(snippet: str, timeout_s: int = 600):
+def _device_run(snippet: str, timeout_s: int = 600, mode: str = "pallas"):
     """Run a device-backend measurement in a subprocess with a hard
     timeout: the tunneled TPU can wedge mid-transfer, and a hung device
     probe must not take the whole benchmark down.  The snippet must print
@@ -49,7 +49,7 @@ def _device_run(snippet: str, timeout_s: int = 600):
     if os.environ.get("GAT_BENCH_DEVICE", "1") == "0":
         return None
     env = dict(os.environ)
-    env["GAT_RESCORE"] = "pair"
+    env["GAT_RESCORE"] = mode
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
     try:
         r = subprocess.run([sys.executable, "-c", snippet], env=env,
@@ -299,10 +299,13 @@ t0 = time.time()
 for _ in range(20):
     f(x).block_until_ready()
 rtt_ms = (time.time() - t0) / 20 * 1000
-a = np.zeros(32 * 1024 * 1024, np.uint8)
-t0 = time.time()
-jax.device_put(a).block_until_ready()
-h2d_gbs = a.nbytes / (time.time() - t0) / 1e9
+a = np.zeros(64 * 1024 * 1024, np.uint8)
+h2d_best = 1e9
+for _ in range(2):
+    t0 = time.time()
+    jax.device_put(a).block_until_ready()
+    h2d_best = min(h2d_best, time.time() - t0)
+h2d_gbs = a.nbytes / h2d_best / 1e9
 print(json.dumps({{"best_s": min(times), "perf": perf_snapshot(),
                    "link": {{"dispatch_rtt_ms": round(rtt_ms, 3),
                              "h2d_gbs": round(h2d_gbs, 2)}}}}))
@@ -311,7 +314,10 @@ print(json.dumps({{"best_s": min(times), "perf": perf_snapshot(),
     link = None
     perf = {"dispatches": None, "h2d_bytes": None, "d2h_bytes": None}
     backend = "device(pair)"
-    dev = _device_run(snippet)
+    # resident throughput: pair mode (tiles resident + on-device combine)
+    # is the residency champion; the pallas windowed kernel wins the
+    # tool-level probes (genome-resident, nothing shipped per run)
+    dev = _device_run(snippet, mode="pair")
     if isinstance(dev, dict):
         best_s = dev["best_s"]
         perf = dev["perf"]

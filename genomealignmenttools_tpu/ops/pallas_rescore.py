@@ -252,58 +252,131 @@ def pack_windows(blocks: np.ndarray):
             c_block.astype(np.int64), n_windows, counts.astype(np.int64))
 
 
+# Windows per kernel dispatch.  Exactly two compiled shapes exist (WB_SMALL
+# for jobs with few windows, WB for everything else): the remote-compile
+# helper on tunneled TPU backends costs ~100 s per Pallas shape, so the
+# dispatch grid must never track workload size.  Batches are dispatched
+# asynchronously (JAX dispatch is non-blocking) and fetched once at the
+# end, so the ~24 ms link RTT is pipelined, not paid per batch.
+WB = 2048
+WB_SMALL = 128
+
+
 class PallasBlockScorer:
-    """Pallas-accelerated replacement for DeviceBlockScorer.block_scores."""
+    """Pallas-accelerated block scorer: genome-resident windowed DMA
+    kernel, fixed-shape streamed dispatches, native C++ combine via the
+    chunk_scores_multi interface (same contract as PairBlockScorer)."""
 
     def __init__(self, lut: np.ndarray, t_cache, q_cache):
         self.packed_lut = pack_lut(lut)
+        self._dev_lut = None
         self.t_cache = t_cache
         self.q_cache = q_cache
         self._pack_cache: dict[int, tuple] = {}
+
+    def _pack(self, blocks: np.ndarray):
+        """pack_windows memoized by blocks identity (array pinned in the
+        entry: a freed array's id can be reused by a different blocks
+        array, silently serving stale descriptors).  The entry also holds
+        the batch inputs once uploaded (dev_batches, filled lazily by
+        _dispatch_job): a RESIDENT workload re-scoring the same chains
+        ships nothing on repeat calls."""
+        ck = id(blocks)
+        hit = self._pack_cache.get(ck)
+        if hit is not None and hit[0] is blocks:
+            return hit[1]
+        (t_bases, q_bases, n_chunks, descs, slot_block, n_windows,
+         chunks_per_window) = pack_windows(blocks)
+        packed = [t_bases, q_bases, n_chunks, descs.transpose(0, 2, 1),
+                  slot_block, n_windows, chunks_per_window, None]
+        if len(self._pack_cache) > 16:
+            self._pack_cache.clear()
+        self._pack_cache[ck] = (blocks, packed)
+        return packed
+
+    def _dispatch_job(self, t_name, q_name, q_strand, blocks):
+        """Dispatch all window batches of one job asynchronously.  Returns
+        (pending device arrays, n_windows, chunks_per_window, slot_block)."""
+        from .rescore import PERF
+        packed = self._pack(blocks)
+        (t_bases, q_bases, n_chunks, descs_t, slot_block, n_windows,
+         chunks_per_window, dev_batches) = packed
+        t_codes = self.t_cache.codes_padded_i32(t_name, "+", WIN)
+        q_codes = self.q_cache.codes_padded_i32(q_name, q_strand, WIN)
+        if self._dev_lut is None:
+            self._dev_lut = jnp.asarray(self.packed_lut)
+        interpret = jax.default_backend() == "cpu"
+        if dev_batches is None:
+            dev_batches = []
+            start = 0
+            while start < n_windows:
+                wb = WB_SMALL if n_windows - start <= WB_SMALL else WB
+                end = min(start + wb, n_windows)
+                tb = _pad_to(t_bases[start:end], wb)
+                qb = _pad_to(q_bases[start:end], wb)
+                nc = _pad_to(n_chunks[start:end], wb)
+                de = np.zeros((wb, 3, CMAX), np.int32)
+                de[:end - start] = descs_t[start:end]
+                PERF["h2d_bytes"] += (tb.nbytes + qb.nbytes + nc.nbytes
+                                      + de.nbytes)
+                dev_batches.append((jnp.asarray(tb), jnp.asarray(qb),
+                                    jnp.asarray(nc), jnp.asarray(de),
+                                    wb, end - start))
+                start = end
+            packed[7] = dev_batches
+        pending = []
+        for (tb, qb, nc, de, wb, used) in dev_batches:
+            PERF["dispatches"] += 1
+            out = _rescore_call(tb, qb, nc, self._dev_lut, de,
+                                t_codes, q_codes, wb, interpret=interpret)
+            pending.append((out, used))
+        return pending, n_windows, chunks_per_window, slot_block
+
+    @staticmethod
+    def _chunk_scores(pending, n_windows, chunks_per_window) -> np.ndarray:
+        """Fetch batch outputs and extract per-chunk sums in chunk order."""
+        from .rescore import PERF
+        if not pending:
+            return np.zeros(0, np.int32)
+        rows = []
+        for out, used in pending:
+            a = np.asarray(out)   # (wb, 8, CMAX//8), chunk c at (c%8, c//8)
+            PERF["d2h_bytes"] += a.nbytes
+            rows.append(a.transpose(0, 2, 1).reshape(a.shape[0], CMAX)[:used])
+        mat = np.concatenate(rows)                      # (n_windows, CMAX)
+        cpw = np.asarray(chunks_per_window, np.int64)
+        mask = np.arange(CMAX)[None, :] < cpw[:, None]
+        return mat[mask]                                # chunk order
+
+    def chunk_scores_multi(self, jobs):
+        """(chunk_scores int32, c_block int64, n_blocks) across jobs, with
+        every batch of every job in flight before the first fetch (one
+        pipelined link round trip instead of one per group)."""
+        dispatched = []
+        n_blocks = 0
+        for (tn, qn, strand, blocks) in jobs:
+            dispatched.append((self._dispatch_job(tn, qn, strand, blocks),
+                               blocks.shape[0]))
+            n_blocks += blocks.shape[0]
+        cs_parts = []
+        cb_parts = []
+        block_base = 0
+        for (pending, n_win, cpw, slot_block), nb in dispatched:
+            cs_parts.append(self._chunk_scores(pending, n_win, cpw))
+            cb_parts.append(slot_block + block_base)
+            block_base += nb
+        cs = np.concatenate(cs_parts) if cs_parts else np.zeros(0, np.int32)
+        cb = np.concatenate(cb_parts) if cb_parts else np.zeros(0, np.int64)
+        return cs.astype(np.int32, copy=False), cb, n_blocks
 
     def block_scores(self, t_name: str, q_name: str, q_strand: str,
                      blocks: np.ndarray) -> np.ndarray:
         n = blocks.shape[0]
         if n == 0:
             return np.zeros(0, np.int64)
-        # key by identity but PIN the array in the entry: without the
-        # reference, a freed array's id can be reused by a different blocks
-        # array, silently serving stale descriptors (observed as wrong
-        # scores and out-of-range window DMAs)
-        ck = id(blocks)
-        hit = self._pack_cache.get(ck)
-        if hit is not None and hit[0] is blocks:
-            (_, dev_t_bases, dev_q_bases, dev_n_chunks, dev_descs, slot_block,
-             n_windows, chunks_per_window, n_win_pad) = hit
-        else:
-            (t_bases, q_bases, n_chunks, descs, slot_block, n_windows,
-             chunks_per_window) = pack_windows(blocks)
-            n_win_pad = _round_up(n_windows, 64)
-            descs = np.concatenate(
-                [descs.transpose(0, 2, 1),
-                 np.zeros((n_win_pad - n_windows, 3, CMAX), np.int32)])
-            dev_t_bases = jnp.asarray(_pad_to(t_bases, n_win_pad))
-            dev_q_bases = jnp.asarray(_pad_to(q_bases, n_win_pad))
-            dev_n_chunks = jnp.asarray(_pad_to(n_chunks, n_win_pad))
-            dev_descs = jnp.asarray(descs)
-            if len(self._pack_cache) > 16:
-                self._pack_cache.clear()
-            self._pack_cache[ck] = (blocks, dev_t_bases, dev_q_bases,
-                                    dev_n_chunks, dev_descs, slot_block,
-                                    n_windows, chunks_per_window, n_win_pad)
-        out = _rescore_call(
-            dev_t_bases, dev_q_bases, dev_n_chunks,
-            jnp.asarray(self.packed_lut),
-            dev_descs,
-            self.t_cache.codes_padded_i32(t_name, "+", WIN),
-            self.q_cache.codes_padded_i32(q_name, q_strand, WIN),
-            n_win_pad,
-            interpret=jax.default_backend() == "cpu")
-        # (n_win, 8, CMAX//8) with chunk c at (c%8, c//8) -> transpose rows/cols
-        out = np.asarray(out).transpose(0, 2, 1).reshape(n_win_pad, CMAX)
-        chunk_scores = np.concatenate(
-            [out[w, :int(chunks_per_window[w])] for w in range(n_windows)]) \
-            if n_windows else np.zeros(0, np.int32)
+        pending, n_win, cpw, slot_block = self._dispatch_job(
+            t_name, q_name, q_strand, blocks)
+        chunk_scores = self._chunk_scores(pending, n_win, cpw)
         block_scores = np.zeros(n, np.int64)
         np.add.at(block_scores, slot_block, chunk_scores.astype(np.int64))
         return block_scores

@@ -153,3 +153,30 @@ def test_hostnative_scorer_matches_golden(fixtures_dir, golden_dir, tmp_path):
         str(out), linear_gap="loose", scorer_factory=factory)
     golden = open(os.path.join(golden_dir, "scoreChain.loose.chain")).read()
     assert out.read_text() == golden
+
+
+def test_pallas_scorer_matches_host(fixtures_dir, monkeypatch):
+    """Pallas windowed kernel (interpret mode on CPU) is bit-identical to
+    the host reference across the fixed-shape streamed batches, on both
+    strands, including the multi-batch path (tiny WB forces several
+    dispatches per job) and the chunk_scores_multi native combine."""
+    from genomealignmenttools_tpu.ops import pallas_rescore
+
+    monkeypatch.setattr(pallas_rescore, "WB", 16)
+    monkeypatch.setattr(pallas_rescore, "WB_SMALL", 4)
+    scheme = score_scheme_default()
+    gcalc = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = read_chains(os.path.join(fixtures_dir, "synthetic.chain"))
+    host = ChainScorer(scheme, gcalc, t_genome, q_genome)
+    dev = DeviceChainScorer(scheme, gcalc, t_genome, q_genome, mode="pallas")
+    # per-chain path (block_scores)
+    for chain in chains[:10]:
+        bs_h, _ = host.score_arrays(chain)
+        bs_d, _ = dev.score_arrays(chain)
+        assert np.array_equal(bs_h, bs_d), f"chain {chain.id} differs"
+    # batched path (chunk_scores_multi + native combine)
+    got = dev.score_chains(chains)
+    want = [host.global_and_local(c) for c in chains]
+    assert got == want
