@@ -222,9 +222,8 @@ def cmd_chain_merge_sort(argv):
               "[-inputList=somefile] [-tempDir=somedir/] > out.chain",
               file=sys.stderr)
         return 255
-    # -tempDir accepted for compatibility: the in-memory k-way merge
-    # needs no temp files (chainMergeSort.c sorts via a temp hierarchy)
-    chain_merge_sort(pos, sys.stdout, save_id="saveId" in opts)
+    chain_merge_sort(pos, sys.stdout, save_id="saveId" in opts,
+                     temp_dir=opts.get("tempDir", "./"))
     return 0
 
 
@@ -586,7 +585,8 @@ def cmd_axt_to_maf(argv):
                sys.stdout if pos[3] == "stdout" else pos[3],
                q_prefix=opts.get("qPrefix", ""),
                t_prefix=opts.get("tPrefix", ""),
-               rescore="score" in opts, score_zero="scoreZero" in opts)
+               rescore="score" in opts, score_zero="scoreZero" in opts,
+               t_split="tSplit" in opts)
     return 0
 
 

@@ -323,10 +323,42 @@ def chain_split(out_dir: str, in_files: list[str], split_on_q: bool = False,
             f.close()
 
 
-def chain_merge_sort(in_files: list[str], out, save_id: bool = False) -> None:
+MERGE_MAX_FILES = 400  # chainMergeSort.c MAXFILES: open-handle budget
+
+
+def chain_merge_sort(in_files: list[str], out, save_id: bool = False,
+                     temp_dir: str = "./") -> None:
     """chainMergeSort: k-way merge by descending score; renumber ids
-    unless save_id."""
+    unless save_id.
+
+    More than MERGE_MAX_FILES inputs triggers the reference's hierarchical
+    merge (chainMergeSort.c:130-197 hierSort): groups of 400 merge into
+    temp files under temp_dir, repeated until one pass remains.
+    Intermediate renumbering is unobservable (the final pass renumbers the
+    already-merged stream), so intermediates keep their ids."""
     import heapq
+    if len(in_files) > MERGE_MAX_FILES:
+        import os
+        import tempfile
+        tmp_files = []
+        try:
+            while len(in_files) > MERGE_MAX_FILES:
+                nxt = []
+                for g in range(0, len(in_files), MERGE_MAX_FILES):
+                    fd, tmp = tempfile.mkstemp(suffix=".tmp", prefix="sort-",
+                                               dir=temp_dir or "./")
+                    os.close(fd)
+                    tmp_files.append(tmp)
+                    chain_merge_sort(in_files[g:g + MERGE_MAX_FILES], tmp,
+                                     save_id=True)
+                    nxt.append(tmp)
+                in_files = nxt
+            chain_merge_sort(in_files, out, save_id=save_id)
+        finally:
+            for t in tmp_files:
+                if os.path.exists(t):
+                    os.remove(t)
+        return
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     meta = _meta_writer(f)

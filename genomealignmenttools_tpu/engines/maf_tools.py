@@ -23,10 +23,58 @@ def _axt_score_default(axt: Axt) -> int:
 
 def axt_to_maf(in_axt: str, t_sizes_file: str, q_sizes_file: str, out,
                q_prefix: str = "", t_prefix: str = "",
-               rescore: bool = False, score_zero: bool = False) -> None:
-    """axtToMaf (single-file mode)."""
+               rescore: bool = False, score_zero: bool = False,
+               t_split: bool = False) -> None:
+    """axtToMaf.
+
+    t_split (axtToMaf.c:85-88, 124-139): `out` is a directory; one
+    ``<tName>.maf`` per target sequence, input must arrive grouped by
+    target (a revisited tName aborts), and no meta passthrough is
+    registered in this mode (axtToMaf.c:92 is the non-split branch)."""
+    import os
     t_sizes = read_chrom_sizes(t_sizes_file)
     q_sizes = read_chrom_sizes(q_sizes_file)
+
+    def make_ali(axt):
+        score = axt.score
+        if (score == 0 and score_zero) or rescore:
+            score = _axt_score_default(axt)
+        ali = MafAli(score=float(score))
+        # components: target first, then query (axtToMaf slAddHead order)
+        ali.components.append(MafComp(
+            src=t_prefix + axt.t_name, src_size=t_sizes[axt.t_name],
+            strand="+", start=axt.t_start,
+            size=axt.t_end - axt.t_start, text=axt.t_sym))
+        ali.components.append(MafComp(
+            src=q_prefix + axt.q_name, src_size=q_sizes[axt.q_name],
+            strand=axt.q_strand, start=axt.q_start,
+            size=axt.q_end - axt.q_start, text=axt.q_sym))
+        return ali
+
+    if t_split:
+        os.makedirs(out, exist_ok=True)
+        f = None
+        cur_t = None
+        seen: set[str] = set()
+        try:
+            for axt in iter_axts(in_axt):
+                if axt.t_name != cur_t:
+                    cur_t = axt.t_name
+                    if cur_t in seen:
+                        raise ValueError(
+                            f"{in_axt} isn't sorted, which is necessary "
+                            f"when -tSplit option is used")
+                    seen.add(cur_t)
+                    if f is not None:
+                        f.close()
+                    f = open(os.path.join(out, f"{cur_t}.maf"), "w")
+                    f.write("##maf version=1 scoring=blastz\n")
+                f.write(format_maf(make_ali(axt)))
+        finally:
+            if f is not None:
+                f.close()
+        return
+
     close = isinstance(out, str)
     f = open(out, "w") if close else out
     try:
@@ -35,20 +83,7 @@ def axt_to_maf(in_axt: str, t_sizes_file: str, q_sizes_file: str, out,
         # maf header line (axtToMaf.c:92-93 registers meta before
         # mafWriteStart, but meta is only crossed during axtRead)
         for axt in iter_axts(in_axt, meta_out=lambda l: f.write(l + "\n")):
-            score = axt.score
-            if (score == 0 and score_zero) or rescore:
-                score = _axt_score_default(axt)
-            ali = MafAli(score=float(score))
-            # components: target first, then query (axtToMaf slAddHead order)
-            ali.components.append(MafComp(
-                src=t_prefix + axt.t_name, src_size=t_sizes[axt.t_name],
-                strand="+", start=axt.t_start,
-                size=axt.t_end - axt.t_start, text=axt.t_sym))
-            ali.components.append(MafComp(
-                src=q_prefix + axt.q_name, src_size=q_sizes[axt.q_name],
-                strand=axt.q_strand, start=axt.q_start,
-                size=axt.q_end - axt.q_start, text=axt.q_sym))
-            f.write(format_maf(ali))
+            f.write(format_maf(make_ali(axt)))
     finally:
         if close:
             f.close()

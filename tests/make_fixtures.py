@@ -437,6 +437,15 @@ def main():
         subprocess.run([os.path.join(KB, "chainPreNet"), "-dots=3",
                         sorted_chain, tsz, qsz, os.devnull],
                        stdout=dots_f, check=True)
+
+    # axtToMaf -tSplit: sorted axt fixture + per-target maf golden dir
+    sorted_axt = os.path.join(FIX, "sorted.axt")
+    run([os.path.join(KB, "axtSort"),
+         os.path.join(GOLD, "chainToAxt.axt"), sorted_axt])
+    tsplit_dir = os.path.join(GOLD, "axtToMaf.tsplit")
+    os.makedirs(tsplit_dir, exist_ok=True)
+    run([os.path.join(KB, "axtToMaf"), "-tSplit", "-qPrefix=q.",
+         sorted_axt, tsz, qsz, tsplit_dir])
     run([os.path.join(KB, "chainAntiRepeat"), t2bit, q2bit, sorted_chain,
          os.path.join(GOLD, "chainAntiRepeat.chain")])
 

@@ -126,3 +126,41 @@ def test_psl_mrna_cover(fixtures_dir, golden_dir, tmp_path):
                               os.path.join(fixtures_dir, "mrna.fa"),
                               out, min_size=500)
     assert out.getvalue() == _golden(golden_dir, "pslMrnaCover.minSize500.txt")
+
+
+def test_axt_to_maf_tsplit(fixtures_dir, golden_dir, tmp_path):
+    """-tSplit: one maf per target sequence (axtToMaf.c:85-88, 124-139)."""
+    from genomealignmenttools_tpu.engines import maf_tools
+    out_dir = str(tmp_path / "split")
+    maf_tools.axt_to_maf(
+        os.path.join(fixtures_dir, "sorted.axt"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), out_dir,
+        q_prefix="q.", t_split=True)
+    gold = os.path.join(golden_dir, "axtToMaf.tsplit")
+    assert sorted(os.listdir(out_dir)) == sorted(os.listdir(gold))
+    for name in os.listdir(gold):
+        assert (open(os.path.join(out_dir, name)).read()
+                == open(os.path.join(gold, name)).read()), name
+
+
+def test_chain_merge_sort_hierarchical(fixtures_dir, tmp_path, monkeypatch):
+    """>MAXFILES inputs trigger the temp-hierarchy merge
+    (chainMergeSort.c:130-197); output matches the flat merge."""
+    import io as _io
+
+    from genomealignmenttools_tpu.engines import chain_tools
+    from genomealignmenttools_tpu.formats.chain import read_chains
+    chains = read_chains(
+        os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"))
+    files = []
+    for i, c in enumerate(chains):
+        p = str(tmp_path / f"c{i:04d}.chain")
+        open(p, "w").write(c.to_text())
+        files.append(p)
+    flat = _io.StringIO()
+    chain_tools.chain_merge_sort(files, flat)
+    monkeypatch.setattr(chain_tools, "MERGE_MAX_FILES", 5)
+    hier = _io.StringIO()
+    chain_tools.chain_merge_sort(files, hier, temp_dir=str(tmp_path))
+    assert hier.getvalue() == flat.getvalue()
