@@ -38,21 +38,30 @@ from ..device.genome import Genome
 # on a tunneled TPU backend potentially much more).
 
 
-def _init_jax():
+def _init_jax(enable_cache: bool = True):
     import jax
 
-    # Persistent compilation cache, ON by default (GAT_JAX_CACHE=0 opts
-    # out; any other value overrides the directory).  Measured on the
-    # tunneled v5e: a cold scoreChain process drops 131.6 s -> 25.7 s when
-    # the Pallas rescore kernel deserializes instead of recompiling
-    # (remote AOT compile is ~100 s/shape).  min_compile_time=0.5 s keeps
+    # Persistent compilation cache: OPT-IN via GAT_JAX_CACHE=<dir>.
+    # Measured repeatedly on the tunneled v5e, the cache is a net loss
+    # there: deserialized executables pay a first-execution (program
+    # load) penalty that exceeds recompiling - pallas cold scoreChain
+    # 144-165 s with the cache vs 31-98 s without (the terminal's own
+    # compile helper already caches compiles), and the pair backend's
+    # combine pipeline goes 292 s fresh -> 515 s cached.  On a co-located
+    # TPU VM (local compiles, fast program load) the cache is the usual
+    # win, hence the env knob rather than removal; pair-mode scorers
+    # always pass enable_cache=False, which also unsets a cache dir
+    # configured earlier in the process.  min_compile_time=0.5 s keeps
     # trivial XLA programs out of the cache.
     cache = os.environ.get("GAT_JAX_CACHE")
-    if cache != "0" and not jax.config.jax_compilation_cache_dir:
-        if not cache:
-            cache = os.path.join(
-                os.path.expanduser("~"), ".cache",
-                "genomealignmenttools_tpu", "jaxcache")
+    if cache in (None, "", "0") or not enable_cache:
+        if jax.config.jax_compilation_cache_dir:
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:
+                pass
+        return jax
+    if not jax.config.jax_compilation_cache_dir:
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
@@ -284,7 +293,9 @@ class DeviceChainScorer:
                 import jax
                 mode = "pallas" if jax.default_backend() != "cpu" else "xla"
         if mode not in ("hostnative",):
-            _init_jax()  # configure the persistent compile cache (if any)
+            # persistent compile cache helps pallas/xla, hurts pair (see
+            # _init_jax)
+            _init_jax(enable_cache=(mode != "pair"))
         if mode == "pair":
             from .pair_rescore import PairBlockScorer
             self._dev = PairBlockScorer(np.asarray(scheme.lut), t_genome,
