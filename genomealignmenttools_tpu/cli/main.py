@@ -488,15 +488,60 @@ def cmd_extract_syn_inv(argv):
     return 0
 
 
+def _parse_lastz_parameters(s: str) -> dict:
+    """Map a patchChain -lastzParameters string onto aligner knobs.
+
+    The reference passes the string verbatim to lastz
+    (patchChain.perl:23,234); we honor the knobs our aligner plays the
+    role of: Q= (score scheme file), K= (hsp threshold), L= (gapped
+    threshold), W= (seed length).  --format / M= / T= and other output
+    or masking-count options have no analog and are ignored."""
+    out = {}
+    for tok in s.split():
+        if tok.startswith("Q="):
+            out["score_scheme"] = tok[2:]
+        elif tok.startswith("K="):
+            out["hsp_threshold"] = int(tok[2:])
+        elif tok.startswith("L="):
+            out["gapped_threshold"] = int(tok[2:])
+        elif tok.startswith("W="):
+            out["seed_len"] = int(tok[2:])
+    return out
+
+
 def cmd_patch_chain(argv):
-    from ..engines.drivers import patch_chain
+    from ..engines.drivers import patch_chain, patch_chain_make_jobs
     pos, o = _parse_kent_args(argv)
-    if len(pos) < 6:
+    if len(pos) not in (5, 6):
         print("usage: patchChain in.chain t.2bit q.2bit t.sizes q.sizes "
-              "out.psl [options: -chainMinScore=N -gapMinSizeT=N ... "
-              "-scoreScheme=HoxD55.q -minIdentity=N -minEntropy=F "
-              "-windowSize=N -numShards=N -shard=N]", file=sys.stderr)
+              "[out.psl]\n"
+              "  5 args (reference mode): emit -numJobs job scripts into "
+              "-jobDir + -jobList, outputs to -outputDir/patch<i>.psl\n"
+              "  6 args: align in-process, write out.psl "
+              "[-numShards=N -shard=N]\n"
+              "  [options: -chainMinScore=N -gapMinSizeT=N ... "
+              "-scoreScheme=HoxD55.q -lastzParameters=\"K=1500 L=2500 "
+              "W=5 Q=...\" -unmask -minIdentity=N -minEntropy=F "
+              "-windowSize=N]", file=sys.stderr)
         return 255
+    lz = _parse_lastz_parameters(o.get("lastzParameters", ""))
+    if len(pos) == 5:
+        # reference signature: write cluster job scripts (patchChain.perl
+        # :181-267); each job runs this CLI's sharded in-process mode
+        passthrough = [a for a in argv
+                       if a.startswith("-") and not any(
+                           a.lstrip("-").startswith(k) for k in
+                           ("numJobs", "jobDir", "outputDir", "jobList"))]
+        n = patch_chain_make_jobs(
+            pos[0], pos[1], pos[2], pos[3], pos[4],
+            num_jobs=int(o.get("numJobs", 1000)),
+            job_dir=o.get("jobDir", "doPatchChain"),
+            output_dir=o.get("outputDir", "doPatchChain"),
+            job_list=o.get("jobList", "jobList"),
+            passthrough=passthrough)
+        print(f"DONE: wrote {n} job scripts "
+              f"({o.get('jobList', 'jobList')} lists them)")
+        return 0
     patch_chain(
         pos[0], pos[1], pos[2], pos[3], pos[4],
         sys.stdout if pos[5] == "stdout" else pos[5],
@@ -507,14 +552,18 @@ def cmd_patch_chain(argv):
         gap_min_q=int(o.get("gapMinSizeQ", 10)),
         gap_max_t=int(o.get("gapMaxSizeT", 100000)),
         gap_max_q=int(o.get("gapMaxSizeQ", 100000)),
-        score_scheme=o.get("scoreScheme"),
-        seed_len=int(o.get("seedLen", 5)),
-        hsp_threshold=int(o.get("hspThreshold", 1500)),
+        score_scheme=lz.get("score_scheme", o.get("scoreScheme")),
+        seed_len=lz.get("seed_len", int(o.get("seedLen", 5))),
+        hsp_threshold=lz.get("hsp_threshold",
+                             int(o.get("hspThreshold", 1500))),
+        gapped_threshold=lz.get("gapped_threshold",
+                                int(o.get("gappedThreshold", 2500))),
         min_identity=float(o.get("minIdentity", 0)),
         min_entropy=float(o.get("minEntropy", 0)),
         window_size=int(o.get("windowSize", 0)),
         num_shards=int(o.get("numShards", 1)),
-        shard_index=int(o.get("shard", 0)))
+        shard_index=int(o.get("shard", 0)),
+        unmask="unmask" in o)
     return 0
 
 

@@ -189,7 +189,8 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
                 gapped_threshold: int = 2500,
                 min_identity: float = 0, min_entropy: float = 0,
                 window_size: int = 0,
-                num_shards: int = 1, shard_index: int = 0) -> None:
+                num_shards: int = 1, shard_index: int = 0,
+                unmask: bool = False) -> None:
     """Sensitive re-alignment of chain gaps -> psl patches.
 
     Replaces the reference's cluster-job fan-out: gaps are harvested with
@@ -197,6 +198,11 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
     (num_shards/shard_index replace the csh jobList), aligned in-process
     and written as psl (axtToPsl semantics).  The psl output feeds a fresh
     axtChain run exactly like the reference's patch psl files.
+
+    unmask=False reproduces lastz's default soft-masked seeding (seeds
+    cannot start in lower-case/repeat bases; extensions still score
+    through them); patchChain.perl:24 appends `[unmask]` only when the
+    -unmask flag is given.
     """
     if (min_entropy != 0 or min_identity != 0) and window_size == 0:
         raise ValueError("minEntropy or minIdentity given but windowSize is 0")
@@ -223,6 +229,23 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
                          char_matrix=scheme.char_matrix())
     code_to_char = np.frombuffer(b"TCAGN", dtype=np.uint8)
 
+    seed_cache: dict = {}
+
+    def seed_codes(genome, mask_genome, name, strand):
+        """Codes with soft-masked positions forced to 4 (seed-blind)."""
+        key = (id(genome), name, strand)
+        if key not in seed_cache:
+            codes = genome.codes(name, strand).copy()
+            mask = mask_genome.seq(name).mask
+            if mask is not None and mask.any():
+                m = mask[::-1] if strand == "-" else mask
+                codes[m] = 4
+            seed_cache[key] = codes
+        return seed_cache[key]
+
+    t_mask_genome = None if unmask else Genome(t_2bit, with_mask=True)
+    q_mask_genome = None if unmask else Genome(q_2bit, with_mask=True)
+
     axts = []
     for job in jobs:
         t_codes = t_genome.codes(job.t_name, "+")
@@ -234,7 +257,13 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
             q_lo, q_hi = q_size - q_plus_hi, q_size - q_plus_lo
         else:
             q_lo, q_hi = q_plus_lo, q_plus_hi
-        hsps = aligner.align(t_codes, q_codes, t_lo, t_hi, q_lo, q_hi)
+        t_seed = (None if unmask else
+                  seed_codes(t_genome, t_mask_genome, job.t_name, "+"))
+        q_seed = (None if unmask else
+                  seed_codes(q_genome, q_mask_genome, job.q_name,
+                             job.q_strand))
+        hsps = aligner.align(t_codes, q_codes, t_lo, t_hi, q_lo, q_hi,
+                             t_seed_codes=t_seed, q_seed_codes=q_seed)
         tb = t_chars.chars(job.t_name, "+")
         qb = q_chars.chars(job.q_name, job.q_strand)
         for ts, te, qs, qe, sc in hsps:
@@ -258,6 +287,53 @@ def patch_chain(chain_file: str, t_2bit: str, q_2bit: str,
     finally:
         if close:
             f.close()
+
+
+def patch_chain_make_jobs(chain_file: str, t_2bit: str, q_2bit: str,
+                          t_sizes_file: str, q_sizes_file: str,
+                          num_jobs: int = 1000,
+                          job_dir: str = "doPatchChain",
+                          output_dir: str = "doPatchChain",
+                          job_list: str = "jobList",
+                          passthrough: list[str] | None = None) -> int:
+    """Reference-compatible cluster fan-out (patchChain.perl:181-267):
+    write numJobs executable job scripts under job_dir, each producing
+    one ``output_dir/patch<i>.psl``, plus a job_list file naming them.
+
+    Where the reference's jobs shell out to lastz | axtToPsl, ours invoke
+    this framework's own patchChain in sharded mode (-numShards/-shard),
+    which runs the same gap walk and writes psl directly.  The scripts
+    are independent and can run in parallel on a cluster, exactly like
+    the reference's csh jobs.  Returns the number of jobs written."""
+    import os
+    import sys as _sys
+    os.makedirs(job_dir, exist_ok=True)
+    os.makedirs(output_dir, exist_ok=True)
+    flags = list(passthrough or [])
+    # jobs may run on hosts without the package installed: pin the
+    # package's parent dir onto PYTHONPATH inside each script
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    n_written = 0
+    for i in range(num_jobs):
+        path = os.path.join(job_dir, f"job{i}.csh")
+        out_psl = os.path.join(output_dir, f"patch{i}.psl")
+        cmd = [_sys.executable, "-m", "genomealignmenttools_tpu.cli.main",
+               "patchChain", chain_file, t_2bit, q_2bit,
+               t_sizes_file, q_sizes_file, out_psl,
+               *flags, f"-numShards={num_jobs}", f"-shard={i}"]
+        with open(path, "w") as f:
+            f.write("#!/bin/sh -e\n")
+            f.write(f'export PYTHONPATH="{pkg_root}:${{PYTHONPATH:-}}"\n')
+            f.write(f"rm -f {out_psl}\n")
+            f.write("exec " + " ".join(cmd) + "\n")
+        os.chmod(path, 0o755)
+        n_written += 1
+    with open(job_list, "w") as f:
+        for name in sorted(os.listdir(job_dir)):
+            if name.startswith("job") and name.endswith(".csh"):
+                f.write(os.path.join(job_dir, name) + "\n")
+    return n_written
 
 
 # ---------------------------------------------------------------------------

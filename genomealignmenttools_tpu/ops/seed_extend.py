@@ -373,14 +373,25 @@ class GapAligner:
         return blocks
 
     def align(self, t_codes: np.ndarray, q_codes: np.ndarray,
-              t_lo: int, t_hi: int, q_lo: int, q_hi: int) -> list:
+              t_lo: int, t_hi: int, q_lo: int, q_hi: int,
+              t_seed_codes: np.ndarray | None = None,
+              q_seed_codes: np.ndarray | None = None) -> list:
         """HSP block rows [tS, tE, qS, qE, score] (absolute coordinates in
-        the supplied code arrays), sorted by (q, t)."""
+        the supplied code arrays), sorted by (q, t).
+
+        t_seed_codes/q_seed_codes: optional arrays used ONLY for seed
+        discovery (soft-masked positions set to code 4 reproduce lastz's
+        default masked seeding, where repeats cannot seed but extensions
+        score through them; patchChain.perl:24 `[unmask]` lifts this)."""
         if t_hi - t_lo > self.max_region or q_hi - q_lo > self.max_region:
             return []
         t_region = t_codes[t_lo:t_hi]
         q_region = q_codes[q_lo:q_hi]
-        diag_w, w0, w1 = self._seed_windows(t_region, q_region)
+        t_seed = (t_region if t_seed_codes is None
+                  else t_seed_codes[t_lo:t_hi])
+        q_seed = (q_region if q_seed_codes is None
+                  else q_seed_codes[q_lo:q_hi])
+        diag_w, w0, w1 = self._seed_windows(t_seed, q_seed)
         blocks = self._scan_windows(t_region, q_region, diag_w, w0, w1,
                                     t_lo, q_lo)
         if self.gapped_threshold is not None:

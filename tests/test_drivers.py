@@ -92,7 +92,7 @@ def test_patch_chain_finds_planted_homolog(fixtures_dir, tmp_path):
         os.path.join(fixtures_dir, "query.2bit"),
         os.path.join(fixtures_dir, "target.chrom.sizes"),
         os.path.join(fixtures_dir, "query.chrom.sizes"),
-        out)
+        out, unmask=True)  # the planted homologs are soft-masked repeats
     psls = read_psls(io.StringIO(out.getvalue()))
     # both gap scenarios have an 800bp planted homolog
     assert len(psls) >= 2
@@ -157,3 +157,83 @@ def test_filter_chains_pipeline_checkpointed(fixtures_dir, golden_dir,
     filter_chains_net_filter_nets(*args, work_dir=work)
     assert open(tmp_path / "filtered.net").read() == open(
         os.path.join(golden_dir, "filterChains.filtered.net")).read()
+
+
+def test_patch_chain_masked_seeding(tmp_path):
+    """Default (no -unmask) seeding skips soft-masked bases like lastz;
+    unmask=True seeds through them (patchChain.perl:24 `[unmask]`)."""
+    import numpy as np
+
+    from genomealignmenttools_tpu.formats.twobit import write_twobit
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    flank = bases[rng.integers(0, 4, 500)].tobytes()
+    flank2 = bases[rng.integers(0, 4, 500)].tobytes()
+    homolog = bases[rng.integers(0, 4, 400)].tobytes()
+    pad = bases[rng.integers(0, 4, 300)].tobytes()
+    pad2 = bases[rng.integers(0, 4, 300)].tobytes()
+    # the planted homolog is soft-masked (lowercase) on both sides
+    t_seq = flank + pad + homolog.lower() + pad2 + flank2
+    q_seq = flank + homolog.lower() + flank2
+    t2 = str(tmp_path / "t.2bit")
+    q2 = str(tmp_path / "q.2bit")
+    write_twobit(t2, [("chrT", t_seq)])
+    write_twobit(q2, [("chrQ", q_seq)])
+    for p, n, ln in ((tmp_path / "t.sizes", "chrT", len(t_seq)),
+                     (tmp_path / "q.sizes", "chrQ", len(q_seq))):
+        p.write_text(f"{n}\t{ln}\n")
+    # one chain whose gap spans the masked homolog: blocks = the flanks
+    t_len, q_len = len(t_seq), len(q_seq)
+    chain = (f"chain 1000 chrT {t_len} + 0 {t_len} chrQ {q_len} + 0 "
+             f"{q_len} 1\n500\t{t_len - 1000}\t{q_len - 1000}\n500\n\n")
+    chain_file = str(tmp_path / "in.chain")
+    open(chain_file, "w").write(chain)
+
+    def run(unmask):
+        out = io.StringIO()
+        patch_chain(chain_file, t2, q2, str(tmp_path / "t.sizes"),
+                    str(tmp_path / "q.sizes"), out, unmask=unmask)
+        return read_psls(io.StringIO(out.getvalue()))
+
+    masked = run(False)
+    unmasked = run(True)
+    assert len(unmasked) >= 1       # homolog found when seeding is free
+    assert len(masked) == 0         # masked bases cannot seed
+
+
+def test_patch_chain_make_jobs(fixtures_dir, tmp_path):
+    """Reference 5-arg mode: job scripts + jobList
+    (patchChain.perl:181-267), each running a shard of this CLI."""
+    import subprocess
+    import sys as _sys
+
+    from genomealignmenttools_tpu.engines.drivers import patch_chain_make_jobs
+    job_dir = str(tmp_path / "jobs")
+    out_dir = str(tmp_path / "out")
+    job_list = str(tmp_path / "jobList")
+    n = patch_chain_make_jobs(
+        os.path.join(fixtures_dir, "repeatfiller_input.chain"),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"),
+        num_jobs=2, job_dir=job_dir, output_dir=out_dir, job_list=job_list)
+    assert n == 2
+    scripts = open(job_list).read().splitlines()
+    assert len(scripts) == 2
+    for s in scripts:
+        subprocess.run(["sh", s], check=True)
+    # union of shard outputs == the unsharded run
+    full = io.StringIO()
+    patch_chain(
+        os.path.join(fixtures_dir, "repeatfiller_input.chain"),
+        os.path.join(fixtures_dir, "target.2bit"),
+        os.path.join(fixtures_dir, "query.2bit"),
+        os.path.join(fixtures_dir, "target.chrom.sizes"),
+        os.path.join(fixtures_dir, "query.chrom.sizes"), full)
+    shard_lines = []
+    for i in range(2):
+        shard_lines += open(os.path.join(out_dir, f"patch{i}.psl")).read() \
+            .splitlines()
+    assert sorted(shard_lines) == sorted(full.getvalue().splitlines())
