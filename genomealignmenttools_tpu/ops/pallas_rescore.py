@@ -252,14 +252,16 @@ def pack_windows(blocks: np.ndarray):
             c_block.astype(np.int64), n_windows, counts.astype(np.int64))
 
 
-# Windows per kernel dispatch.  Exactly two compiled shapes exist (WB_SMALL
-# for jobs with few windows, WB for everything else): the remote-compile
-# helper on tunneled TPU backends costs ~100 s per Pallas shape, so the
-# dispatch grid must never track workload size.  Batches are dispatched
-# asynchronously (JAX dispatch is non-blocking) and fetched once at the
-# end, so the ~24 ms link RTT is pipelined, not paid per batch.
+# Windows per kernel dispatch.  Exactly ONE compiled shape exists: the
+# remote-compile helper on tunneled TPU backends costs ~100-200 s per
+# Pallas shape, so the dispatch grid must never track workload size (a
+# second "small" shape was measured to cost far more in cold compile than
+# its padding savings are worth: jobs are group-concatenated, so small
+# batches are rare and a padded 2048-window batch wastes only ~60-90 ms).
+# Batches are dispatched asynchronously (JAX dispatch is non-blocking) and
+# fetched once at the end, so the ~24 ms link RTT is pipelined, not paid
+# per batch.
 WB = 2048
-WB_SMALL = 128
 
 
 class PallasBlockScorer:
@@ -310,7 +312,7 @@ class PallasBlockScorer:
             dev_batches = []
             start = 0
             while start < n_windows:
-                wb = WB_SMALL if n_windows - start <= WB_SMALL else WB
+                wb = WB
                 end = min(start + wb, n_windows)
                 tb = _pad_to(t_bases[start:end], wb)
                 qb = _pad_to(q_bases[start:end], wb)

@@ -163,7 +163,6 @@ def test_pallas_scorer_matches_host(fixtures_dir, monkeypatch):
     from genomealignmenttools_tpu.ops import pallas_rescore
 
     monkeypatch.setattr(pallas_rescore, "WB", 16)
-    monkeypatch.setattr(pallas_rescore, "WB_SMALL", 4)
     scheme = score_scheme_default()
     gcalc = gap_calc_default()
     t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
