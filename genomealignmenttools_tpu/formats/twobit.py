@@ -120,13 +120,39 @@ class TwoBitSeq:
         return chars.tobytes()
 
 
+# Raw 2bit bytes cached process-wide keyed by (realpath, mtime, size):
+# warm pipelines re-open the same genome files every run, and re-reading a
+# few hundred MB per run costs ~0.1 s even from page cache.  Mirrors the
+# decoded-chrom cache in device/genome.py (_SEQ_CACHE); bounded to 8 files.
+_RAW_CACHE: dict = {}
+
+
+def _raw_bytes(path: str) -> bytes:
+    import os
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _RAW_CACHE.get(key)
+        if hit is not None:
+            return hit
+    with open(path, "rb") as f:
+        data = f.read()
+    if key is not None:
+        while len(_RAW_CACHE) >= 8:
+            _RAW_CACHE.pop(next(iter(_RAW_CACHE)))
+        _RAW_CACHE[key] = data
+    return data
+
+
 class TwoBitFile:
     """Random-access reader for a .2bit file (loads index; seq data lazily)."""
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            self._data = f.read()
+        self._data = _raw_bytes(path)
         sig, version, seq_count, _reserved = struct.unpack_from("<IIII", self._data, 0)
         if sig != SIGNATURE:
             # try big endian
