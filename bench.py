@@ -1,31 +1,44 @@
 #!/usr/bin/env python
 """Benchmark: chainCleaner end-to-end at chr1 scale vs the reference C
-binary (the BASELINE.md headline metric), plus the rescore-kernel
-throughput and cold scoreChain numbers.
+binary (the BASELINE.md headline metric), plus chainNet -rescore, cold
+scoreChain, and the resident rescore-kernel throughput/roofline.
 
-Workloads (deterministic, cached under GAT_BENCH_DIR):
+Prints ONE json line {"metric", "value", "unit", "vs_baseline", "extra"}
+— ALWAYS, within a global wall-clock budget (GAT_BENCH_BUDGET_S, default
+390 s).  A watchdog thread emits whatever has been measured so far and
+exits 0 if the budget expires; device probes run LAST, each in a
+subprocess whose timeout is derived from the remaining budget, so a
+wedged tunnel or a 100-200 s remote Pallas compile can never take the
+whole benchmark down (BENCH_r02 rc=1 / BENCH_r03 rc=124 post-mortem).
+
+Workloads (deterministic, cached under GAT_BENCH_DIR=/tmp/gat_bench):
 
 1. chainCleaner chr1-scale: 2000 planted breaking/broken scenarios +
    30000 bulk chains over a ~330 Mb target (utils/bench_workload.py
-   build_cleaner_workload).  The reference C chainCleaner (+ its internal
-   `chainNet | NetFilterNonNested.perl` netting, run explicitly because
-   dash lacks pipefail) is timed on the same inputs when the locally-built
-   binaries exist (.ref_build/); otherwise the recorded baseline in
-   tests/golden/bench_baseline.json is used.  Outputs are compared
-   byte-for-byte.
-2. rescore throughput: ~366 Mb-aligned workload re-scored with chains
-   resident (the chainCleaner/chainNet -rescore usage pattern).
-3. scoreChain cold: parse + pack + score + write, end to end.
+   build_cleaner_workload).  The reference C chainCleaner (+ its
+   internal `chainNet | NetFilterNonNested.perl` netting, run explicitly
+   because dash lacks pipefail) is timed on the same inputs when the
+   locally-built binaries exist (.ref_build/); otherwise the recorded
+   baseline in tests/golden/bench_baseline.json is used.  Outputs are
+   compared byte-for-byte.
+2. chainNet -rescore on the same inputs vs C.
+3. scoreChain cold: parse + pack + score + write, end to end (~366 Mb
+   aligned workload).
+4. resident rescore throughput: chains+genome resident, re-scored
+   repeatedly (the chainCleaner/chainNet usage pattern) + HBM roofline
+   accounting for the device path.
 
-Prints ONE json line {"metric", "value", "unit", "vs_baseline", "extra"}.
-The headline is the chainCleaner wall-clock speedup (warm process;
-cold-process numbers are in extra).
+The headline is the warm chainCleaner wall-clock speedup vs C.
+Methodology: both sides run on the same host (2 cores in this sandbox);
+C is single-threaded by design (the reference has no threading), ours
+uses the cores it finds.  `extra.host_cores` records the core count.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -35,45 +48,109 @@ BASELINE_PATH = os.path.join(HERE, "tests", "golden", "bench_baseline.json")
 REF_BIN = os.path.join(HERE, ".ref_build", "bin")
 KENT_BIN = os.path.join(HERE, ".ref_build", "kent", "bin")
 
+BUDGET_S = float(os.environ.get("GAT_BENCH_BUDGET_S", "390"))
+MARGIN_S = 12.0          # watchdog fires this long before the budget ends
+_T0 = time.time()
+DEADLINE = _T0 + BUDGET_S
+
+# Result object, updated progressively as sections complete so the
+# watchdog always has the best-so-far snapshot to emit.
+RESULT = {"metric": "chaincleaner_chr1_wallclock", "value": None,
+          "unit": "s_end_to_end(warm; vs C incl. netting)",
+          "vs_baseline": None,
+          "extra": {"budget_s": BUDGET_S, "host_cores": os.cpu_count(),
+                    "sections_done": []}}
+_EMITTED = False
+_EMIT_LOCK = threading.Lock()
+_LIVE_PROCS: list = []   # Popen objects the watchdog must reap on exit
+
+
+def remaining() -> float:
+    return DEADLINE - time.time()
+
+
+def _emit(tag: str) -> None:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        RESULT["extra"]["elapsed_s"] = round(time.time() - _T0, 1)
+        RESULT["extra"]["completed"] = tag
+        print(json.dumps(RESULT), flush=True)
+
+
+def _watchdog() -> None:
+    while True:
+        left = DEADLINE - MARGIN_S - time.time()
+        if left <= 0:
+            break
+        time.sleep(min(left, 1.0))
+    if _EMITTED:
+        return
+    for p in list(_LIVE_PROCS):
+        try:
+            p.kill()
+        except OSError:
+            pass
+    _emit("watchdog(budget exhausted)")
+    os._exit(0)
+
 
 def _have_ref():
     return (os.path.exists(os.path.join(REF_BIN, "chainCleaner"))
             and os.path.exists(os.path.join(KENT_BIN, "chainSort")))
 
 
-def _device_run(snippet: str, timeout_s: int = 600, mode: str = "pallas"):
+def _device_run(snippet: str, need_s: float, mode: str = "pallas"):
     """Run a device-backend measurement in a subprocess with a hard
-    timeout: the tunneled TPU can wedge mid-transfer, and a hung device
-    probe must not take the whole benchmark down.  The snippet must print
-    a float (seconds) as its last line; returns None on any failure."""
+    timeout bounded by the remaining global budget.  The snippet must
+    print a float (seconds) or a json dict as its last line; returns
+    None on any failure, timeout, or insufficient budget."""
     if os.environ.get("GAT_BENCH_DEVICE", "1") == "0":
+        return None
+    timeout_s = min(600.0, remaining() - MARGIN_S - 3.0)
+    if timeout_s < need_s:
         return None
     env = dict(os.environ)
     env["GAT_RESCORE"] = mode
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
     try:
-        r = subprocess.run([sys.executable, "-c", snippet], env=env,
-                           capture_output=True, timeout=timeout_s,
-                           text=True)
-        if r.returncode != 0:
+        p = subprocess.Popen([sys.executable, "-c", snippet], env=env,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL, text=True)
+        _LIVE_PROCS.append(p)
+        try:
+            out, _ = p.communicate(timeout=timeout_s)
+        finally:
+            _LIVE_PROCS.remove(p)
+        if p.returncode != 0:
             return None
-        last = r.stdout.strip().splitlines()[-1]
+        last = out.strip().splitlines()[-1]
         if last.startswith("{"):
             return json.loads(last)
         return float(last)
     except (subprocess.TimeoutExpired, ValueError, IndexError):
+        try:
+            p.kill()
+        except OSError:
+            pass
         return None
 
 
-def bench_cleaner(work_dir):
-    """chainCleaner end-to-end: C reference vs this framework."""
+def _section(name):
+    RESULT["extra"]["sections_done"].append(name)
+
+
+# ---------------------------------------------------------------------------
+# Host-side benches (run first: they ARE the headline)
+# ---------------------------------------------------------------------------
+
+def bench_cleaner_host(m, d):
+    """chainCleaner end-to-end: C reference vs the host-native path."""
     from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
-    from genomealignmenttools_tpu.utils.bench_workload import (
-        build_cleaner_workload)
     from genomealignmenttools_tpu.utils.verbose import set_verbosity
 
-    m = build_cleaner_workload(os.path.join(work_dir, "cleaner"))
-    d = os.path.join(work_dir, "cleaner")
     c_chain = os.path.join(d, "c_out.chain")
     c_bed = os.path.join(d, "c_out.bed")
     c_time_path = os.path.join(d, "C_TIME.json")
@@ -81,7 +158,7 @@ def bench_cleaner(work_dir):
     c_total = None
     if os.path.exists(c_time_path):
         c_total = json.load(open(c_time_path))["c_total_s"]
-    elif _have_ref():
+    elif _have_ref() and remaining() > 90:
         env = dict(os.environ)
         env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
 
@@ -107,7 +184,9 @@ def bench_cleaner(work_dir):
                 env=env, check=True, capture_output=True)
             return time.time() - t0
 
-        c_total = min(run_c(), run_c())  # best-of-2 (page-cache warm)
+        c_total = run_c()
+        if remaining() > c_total + 45:
+            c_total = min(c_total, run_c())  # best-of-2 (page-cache warm)
         json.dump({"c_total_s": c_total}, open(c_time_path, "w"))
 
     set_verbosity(0)
@@ -123,25 +202,6 @@ def bench_cleaner(work_dir):
 
     cold = run_once()          # auto backend (host-native default)
     warm_host = min(run_once(), run_once())
-    # the device backend, explicitly (auto picks host-native for one-shot
-    # runs by measurement; this records the device side of that decision),
-    # in a timeout-guarded subprocess - the tunnel can wedge
-    warm_dev = _device_run(f"""
-import time
-from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
-from genomealignmenttools_tpu.utils.verbose import set_verbosity
-set_verbosity(0)
-args = ({m["chain"]!r}, {m["t2bit"]!r}, {m["q2bit"]!r},
-        {out_chain + ".dev"!r}, {out_bed + ".dev"!r})
-kw = dict(t_sizes={m["t_sizes"]!r}, q_sizes={m["q_sizes"]!r},
-          linear_gap="loose")
-clean_chains(*args, **kw)
-best = 1e9
-for _ in range(2):
-    t0 = time.time(); clean_chains(*args, **kw)
-    best = min(best, time.time() - t0)
-print(best)
-""")
 
     parity = None
     if os.path.exists(c_chain):
@@ -150,28 +210,23 @@ print(best)
 
     return {"c_total_s": round(c_total, 2) if c_total else None,
             "cold_s": round(cold, 2),
-            "warm_s": round(warm_host if warm_dev is None
-                            else min(warm_dev, warm_host), 2),
-            "warm_device_s": round(warm_dev, 2) if warm_dev else None,
+            "warm_s": round(warm_host, 2),
+            "warm_device_s": None,
             "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}
 
 
-def bench_chainnet_rescore(work_dir):
+def bench_chainnet_rescore_host(m, d):
     """chainNet -rescore (exact sub-net rescoring) at chr1 scale vs C."""
     from genomealignmenttools_tpu.engines.chain_net import chain_net
-    from genomealignmenttools_tpu.utils.bench_workload import (
-        build_cleaner_workload)
 
-    m = build_cleaner_workload(os.path.join(work_dir, "cleaner"))
-    d = os.path.join(work_dir, "cleaner")
     c_t = os.path.join(d, "c_rescore.t.net")
     c_q = os.path.join(d, "c_rescore.q.net")
     c_time_path = os.path.join(d, "C_NET_TIME.json")
     c_total = None
     if os.path.exists(c_time_path):
         c_total = json.load(open(c_time_path))["c_total_s"]
-    elif _have_ref():
+    elif _have_ref() and remaining() > 45:
         env = dict(os.environ)
         env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
 
@@ -184,7 +239,9 @@ def bench_chainnet_rescore(work_dir):
                 env=env, check=True, capture_output=True)
             return time.time() - t0
 
-        c_total = min(run_c(), run_c())
+        c_total = run_c()
+        if remaining() > c_total + 30:
+            c_total = min(c_total, run_c())
         json.dump({"c_total_s": c_total}, open(c_time_path, "w"))
 
     g_t = os.path.join(d, "gat_rescore.t.net")
@@ -200,78 +257,80 @@ def bench_chainnet_rescore(work_dir):
 
     cold = run_once()
     warm_host = min(run_once(), run_once())
-    warm_dev = _device_run(f"""
-import time
-from genomealignmenttools_tpu.engines.chain_net import chain_net
-def once():
-    t0 = time.time()
-    with open({g_t + ".dev"!r}, "w") as t_out, \
-            open({g_q + ".dev"!r}, "w") as q_out:
-        chain_net({m["chain"]!r}, {m["t_sizes"]!r}, {m["q_sizes"]!r},
-                  t_out, q_out, rescore=True, t_2bit={m["t2bit"]!r},
-                  q_2bit={m["q2bit"]!r}, linear_gap="loose")
-    return time.time() - t0
-once()
-print(min(once(), once()))
-""")
     parity = None
     if os.path.exists(c_t):
         parity = (open(g_t).read() == open(c_t).read()
                   and open(g_q).read() == open(c_q).read())
     return {"c_total_s": round(c_total, 2) if c_total else None,
             "cold_s": round(cold, 2),
-            "warm_s": round(warm_host if warm_dev is None
-                            else min(warm_dev, warm_host), 2),
-            "warm_device_s": round(warm_dev, 2) if warm_dev else None,
+            "warm_s": round(warm_host, 2),
+            "warm_device_s": None,
             "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}
 
 
-def bench_rescore(work_dir):
-    """Warm rescore throughput + cold scoreChain end-to-end."""
-    from genomealignmenttools_tpu.device.genome import Genome
+def bench_scorechain_host(work_dir):
+    """Cold scoreChain end-to-end + host-native resident throughput
+    (fallback numbers if the device probe later can't run)."""
     from genomealignmenttools_tpu.engines.score_chain import score_chain_file
-    from genomealignmenttools_tpu.formats.chain import read_chains
-    from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
-    from genomealignmenttools_tpu.formats.scorematrix import (
-        score_scheme_default)
-    from genomealignmenttools_tpu.ops.rescore import DeviceChainScorer
     from genomealignmenttools_tpu.utils.bench_workload import build_workload
 
     meta = build_workload(work_dir, t_size=256_000_000, n_chains=384)
     ali_mb = meta["aligned_bases"] / 1e6
 
-    # cold end-to-end scoreChain (parse + pack + score + write); auto =
-    # the all-native host path, the measured one-shot winner
     t0 = time.time()
     score_chain_file(meta["chain"], meta["t2bit"], meta["q2bit"],
                      os.path.join(work_dir, "scored.chain"),
                      linear_gap="loose")
     cold_s = time.time() - t0
-    cold_hn_s = cold_s
+    return meta, {"ali_mb": ali_mb, "cold_e2e_s": round(cold_s, 2),
+                  "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
+                  "cold_e2e_hostnative_s": round(cold_s, 2)}
 
-    # the device backend for the same one-shot run, explicitly (timeout
-    # guarded: the tunnel can wedge)
-    dev_out = os.path.join(work_dir, "scored_dev.chain")
-    cold_dev_s = _device_run(f"""
-import time
-from genomealignmenttools_tpu.engines.score_chain import score_chain_file
-t0 = time.time()
-score_chain_file({meta["chain"]!r}, {meta["t2bit"]!r}, {meta["q2bit"]!r},
-                 {dev_out!r}, linear_gap="loose")
-print(time.time() - t0)
-""")
-    if cold_dev_s is not None:
-        assert (open(dev_out).read()
-                == open(os.path.join(work_dir, "scored.chain")).read())
 
-    # resident rescore throughput: the device backend's home turf (chains
-    # packed once, re-scored repeatedly).  Timeout-guarded subprocess; on
-    # tunnel failure the host-native resident number is recorded instead.
-    snippet = f"""
+def bench_resident_hostnative(meta):
+    """Host-native resident rescore throughput (always measurable)."""
+    from genomealignmenttools_tpu.device.genome import Genome
+    from genomealignmenttools_tpu.formats.chain import read_chains
+    from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
+    from genomealignmenttools_tpu.formats.scorematrix import (
+        score_scheme_default)
+    from genomealignmenttools_tpu.ops.rescore import DeviceChainScorer
+
+    env_save = os.environ.get("GAT_RESCORE")
+    os.environ["GAT_RESCORE"] = "hostnative"
+    try:
+        chains = read_chains(meta["chain"])
+        scorer = DeviceChainScorer(
+            score_scheme_default(), gap_calc_default(),
+            Genome(meta["t2bit"]), Genome(meta["q2bit"]))
+
+        def run_once():
+            return sum(g + loc
+                       for (g, loc, _a) in scorer.score_chains(chains))
+
+        checksum = run_once()
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            assert run_once() == checksum
+            times.append(time.time() - t0)
+        return min(times)
+    finally:
+        if env_save is None:
+            del os.environ["GAT_RESCORE"]
+        else:
+            os.environ["GAT_RESCORE"] = env_save
+
+
+# ---------------------------------------------------------------------------
+# Device probes (run last, each bounded by the remaining budget)
+# ---------------------------------------------------------------------------
+
+def device_resident_snippet(meta):
+    return f"""
 import json, time
 from genomealignmenttools_tpu.device.genome import Genome
-from genomealignmenttools_tpu.engines.scoring import ChainScorer
 from genomealignmenttools_tpu.formats.chain import read_chains
 from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
 from genomealignmenttools_tpu.formats.scorematrix import score_scheme_default
@@ -310,100 +369,131 @@ print(json.dumps({{"best_s": min(times), "perf": perf_snapshot(),
                    "link": {{"dispatch_rtt_ms": round(rtt_ms, 3),
                              "h2d_gbs": round(h2d_gbs, 2)}}}}))
 """
-    best_s = None
-    link = None
-    perf = {"dispatches": None, "h2d_bytes": None, "d2h_bytes": None}
-    backend = "device(pair)"
-    # resident throughput: pair mode (tiles resident + on-device combine)
-    # is the residency champion; the pallas windowed kernel wins the
-    # tool-level probes (genome-resident, nothing shipped per run)
-    dev = _device_run(snippet, mode="pair")
-    if isinstance(dev, dict):
-        best_s = dev["best_s"]
-        perf = dev["perf"]
-        link = dev.get("link")
-    else:
-        backend = "hostnative"
-        env_save = os.environ.get("GAT_RESCORE")
-        os.environ["GAT_RESCORE"] = "hostnative"
-        try:
-            chains = read_chains(meta["chain"])
-            scorer = DeviceChainScorer(
-                score_scheme_default(), gap_calc_default(),
-                Genome(meta["t2bit"]), Genome(meta["q2bit"]))
-
-            def run_once():
-                return sum(g + loc
-                           for (g, loc, _a) in scorer.score_chains(chains))
-
-            checksum = run_once()
-            times = []
-            for _ in range(3):
-                t0 = time.time()
-                assert run_once() == checksum
-                times.append(time.time() - t0)
-            best_s = min(times)
-        finally:
-            if env_save is None:
-                del os.environ["GAT_RESCORE"]
-            else:
-                os.environ["GAT_RESCORE"] = env_save
-    warm_mb_s = ali_mb / best_s
-    # roofline accounting: the rescore kernel reads 1 packed byte per
-    # aligned pair from HBM (resident tiles) + the LUT; v5e HBM ceiling
-    # ~819 GB/s.
-    pair_bytes = meta["aligned_bases"]
-    hbm_gbs = pair_bytes / best_s / 1e9
-    return {"warm_mb_s": round(warm_mb_s, 1),
-            "warm_backend": backend,
-            "cold_e2e_s": round(cold_s, 2),
-            "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
-            "cold_e2e_hostnative_s": round(cold_hn_s, 2),
-            "cold_e2e_device_s": (round(cold_dev_s, 2)
-                                  if cold_dev_s else None),
-            "roofline": {
-                "bytes_hbm_per_run": pair_bytes,
-                "achieved_gbs": round(hbm_gbs, 2),
-                "pct_roofline_v5e": round(100 * hbm_gbs / 819, 2),
-                "n_dispatches_3runs": perf["dispatches"],
-                "h2d_bytes_3runs": perf["h2d_bytes"],
-                "d2h_bytes_3runs": perf["d2h_bytes"],
-                "link": link,
-            }}
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     work_dir = os.environ.get("GAT_BENCH_DIR", "/tmp/gat_bench")
     os.makedirs(work_dir, exist_ok=True)
-
-    cleaner = bench_cleaner(work_dir)
-    net_rescore = bench_chainnet_rescore(work_dir)
-    rescore = bench_rescore(work_dir)
-
     base = json.load(open(BASELINE_PATH)) if os.path.exists(BASELINE_PATH) \
         else {}
-    c_total = cleaner["c_total_s"] or base.get("c_chaincleaner_chr1_s")
-    vs = round(c_total / cleaner["warm_s"], 2) if c_total else None
 
-    print(json.dumps({
-        "metric": "chaincleaner_chr1_wallclock",
-        "value": cleaner["warm_s"],
-        "unit": "s_end_to_end(warm; vs C incl. netting)",
-        "vs_baseline": vs,
-        "extra": {
-            "cleaner": cleaner,
-            "chainnet_rescore": net_rescore,
-            "rescore_throughput_mb_s": rescore["warm_mb_s"],
-            "rescore_vs_c_scorechain": round(
-                rescore["warm_mb_s"] / base["c_scorechain_mb_s"], 2)
-                if base.get("c_scorechain_mb_s") else None,
-            "scorechain_cold_e2e_s": rescore["cold_e2e_s"],
-            "scorechain_cold_e2e_mb_s": rescore["cold_e2e_mb_s"],
-            "scorechain_cold_hostnative_s": rescore["cold_e2e_hostnative_s"],
-            "scorechain_cold_device_s": rescore["cold_e2e_device_s"],
-            "rescore_roofline": rescore["roofline"],
-        },
-    }))
+    # -------- workload build (cached across runs) --------
+    from genomealignmenttools_tpu.utils.bench_workload import (
+        build_cleaner_workload)
+    d = os.path.join(work_dir, "cleaner")
+    m = build_cleaner_workload(d)
+    _section("workload")
+
+    # -------- host headline: chainCleaner --------
+    cleaner = bench_cleaner_host(m, d)
+    RESULT["extra"]["cleaner"] = cleaner
+    c_total = cleaner["c_total_s"] or base.get("c_chaincleaner_chr1_s")
+    RESULT["value"] = cleaner["warm_s"]
+    RESULT["vs_baseline"] = (round(c_total / cleaner["warm_s"], 2)
+                             if c_total else None)
+    _section("cleaner_host")
+
+    # -------- host: chainNet -rescore --------
+    net_rescore = bench_chainnet_rescore_host(m, d)
+    RESULT["extra"]["chainnet_rescore"] = net_rescore
+    _section("chainnet_host")
+
+    # -------- host: cold scoreChain + resident fallback --------
+    meta, sc = bench_scorechain_host(work_dir)
+    RESULT["extra"]["scorechain_cold_e2e_s"] = sc["cold_e2e_s"]
+    RESULT["extra"]["scorechain_cold_e2e_mb_s"] = sc["cold_e2e_mb_s"]
+    RESULT["extra"]["scorechain_cold_hostnative_s"] = \
+        sc["cold_e2e_hostnative_s"]
+    _section("scorechain_host")
+
+    host_resident_s = bench_resident_hostnative(meta)
+    ali_mb = sc["ali_mb"]
+    RESULT["extra"]["rescore_throughput_mb_s"] = round(
+        ali_mb / host_resident_s, 1)
+    RESULT["extra"]["rescore_backend"] = "hostnative"
+    if base.get("c_scorechain_mb_s"):
+        RESULT["extra"]["rescore_vs_c_scorechain"] = round(
+            (ali_mb / host_resident_s) / base["c_scorechain_mb_s"], 2)
+    _section("resident_hostnative")
+
+    # -------- device probes, in descending order of value --------
+    # 1. resident rescore throughput (the device's home turf)
+    dev = _device_run(device_resident_snippet(meta), need_s=60.0,
+                      mode=os.environ.get("GAT_BENCH_RESIDENT_MODE", "pair"))
+    if isinstance(dev, dict):
+        best_s = dev["best_s"]
+        pair_bytes = meta["aligned_bases"]
+        hbm_gbs = pair_bytes / best_s / 1e9
+        RESULT["extra"]["rescore_throughput_mb_s"] = round(
+            ali_mb / best_s, 1)
+        RESULT["extra"]["rescore_backend"] = "device(pair)"
+        if base.get("c_scorechain_mb_s"):
+            RESULT["extra"]["rescore_vs_c_scorechain"] = round(
+                (ali_mb / best_s) / base["c_scorechain_mb_s"], 2)
+        RESULT["extra"]["rescore_roofline"] = {
+            "bytes_hbm_per_run": pair_bytes,
+            "achieved_gbs": round(hbm_gbs, 2),
+            "pct_roofline_v5e": round(100 * hbm_gbs / 819, 2),
+            "n_dispatches_3runs": dev["perf"]["dispatches"],
+            "h2d_bytes_3runs": dev["perf"]["h2d_bytes"],
+            "d2h_bytes_3runs": dev["perf"]["d2h_bytes"],
+            "link": dev.get("link"),
+        }
+        _section("resident_device")
+
+    # 2. device cleaner warm (informational: auto picks host for one-shot)
+    out_chain = os.path.join(d, "gat_out.chain")
+    out_bed = os.path.join(d, "gat_out.bed")
+    warm_dev = _device_run(f"""
+import time
+from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
+from genomealignmenttools_tpu.utils.verbose import set_verbosity
+set_verbosity(0)
+args = ({m["chain"]!r}, {m["t2bit"]!r}, {m["q2bit"]!r},
+        {out_chain + ".dev"!r}, {out_bed + ".dev"!r})
+kw = dict(t_sizes={m["t_sizes"]!r}, q_sizes={m["q_sizes"]!r},
+          linear_gap="loose")
+clean_chains(*args, **kw)
+best = 1e9
+for _ in range(2):
+    t0 = time.time(); clean_chains(*args, **kw)
+    best = min(best, time.time() - t0)
+print(best)
+""", need_s=90.0)
+    if warm_dev is not None:
+        cleaner["warm_device_s"] = round(warm_dev, 2)
+        if warm_dev < cleaner["warm_s"]:
+            cleaner["warm_s"] = round(warm_dev, 2)
+            RESULT["value"] = cleaner["warm_s"]
+            if c_total:
+                RESULT["vs_baseline"] = round(c_total / cleaner["warm_s"], 2)
+        _section("cleaner_device")
+
+    # 3. device chainNet -rescore warm (informational)
+    g_t = os.path.join(d, "gat_rescore.t.net")
+    g_q = os.path.join(d, "gat_rescore.q.net")
+    net_dev = _device_run(f"""
+import time
+from genomealignmenttools_tpu.engines.chain_net import chain_net
+def once():
+    t0 = time.time()
+    with open({g_t + ".dev"!r}, "w") as t_out, \
+            open({g_q + ".dev"!r}, "w") as q_out:
+        chain_net({m["chain"]!r}, {m["t_sizes"]!r}, {m["q_sizes"]!r},
+                  t_out, q_out, rescore=True, t_2bit={m["t2bit"]!r},
+                  q_2bit={m["q2bit"]!r}, linear_gap="loose")
+    return time.time() - t0
+once()
+print(min(once(), once()))
+""", need_s=90.0)
+    if net_dev is not None:
+        net_rescore["warm_device_s"] = round(net_dev, 2)
+        if net_dev < net_rescore["warm_s"]:
+            net_rescore["warm_s"] = round(net_dev, 2)
+        _section("chainnet_device")
+
+    _emit("all")
 
 
 if __name__ == "__main__":

@@ -341,16 +341,24 @@ def chain_merge_sort(in_files: list[str], out, save_id: bool = False,
         import os
         import tempfile
         tmp_files = []
+        orig_inputs = set(in_files)
         try:
             while len(in_files) > MERGE_MAX_FILES:
                 nxt = []
                 for g in range(0, len(in_files), MERGE_MAX_FILES):
+                    group = in_files[g:g + MERGE_MAX_FILES]
                     fd, tmp = tempfile.mkstemp(suffix=".tmp", prefix="sort-",
                                                dir=temp_dir or "./")
                     os.close(fd)
                     tmp_files.append(tmp)
-                    chain_merge_sort(in_files[g:g + MERGE_MAX_FILES], tmp,
-                                     save_id=True)
+                    chain_merge_sort(group, tmp, save_id=True)
+                    # the reference frees each temp at EOF of the pass
+                    # that consumes it (chainMergeSort.c cfEof); deleting
+                    # consumed level-N temps here keeps peak temp-dir
+                    # usage at ~1x instead of ~2x the input size
+                    for t in group:
+                        if t not in orig_inputs and os.path.exists(t):
+                            os.remove(t)
                     nxt.append(tmp)
                 in_files = nxt
             chain_merge_sort(in_files, out, save_id=save_id)

@@ -314,7 +314,9 @@ def patch_chain_make_jobs(chain_file: str, t_2bit: str, q_2bit: str,
     # package's parent dir onto PYTHONPATH inside each script
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    import shlex
     n_written = 0
+    written_paths = []
     for i in range(num_jobs):
         path = os.path.join(job_dir, f"job{i}.csh")
         out_psl = os.path.join(output_dir, f"patch{i}.psl")
@@ -324,15 +326,18 @@ def patch_chain_make_jobs(chain_file: str, t_2bit: str, q_2bit: str,
                *flags, f"-numShards={num_jobs}", f"-shard={i}"]
         with open(path, "w") as f:
             f.write("#!/bin/sh -e\n")
-            f.write(f'export PYTHONPATH="{pkg_root}:${{PYTHONPATH:-}}"\n')
-            f.write(f"rm -f {out_psl}\n")
-            f.write("exec " + " ".join(cmd) + "\n")
+            f.write(f'export PYTHONPATH={shlex.quote(pkg_root)}'
+                    f'":${{PYTHONPATH:-}}"\n')
+            f.write(f"rm -f {shlex.quote(out_psl)}\n")
+            f.write("exec " + " ".join(shlex.quote(c) for c in cmd) + "\n")
         os.chmod(path, 0o755)
         n_written += 1
+        written_paths.append(path)
+    # list only the scripts written THIS run: stale job*.csh left from a
+    # prior run with a larger -numJobs would silently duplicate psl output
     with open(job_list, "w") as f:
-        for name in sorted(os.listdir(job_dir)):
-            if name.startswith("job") and name.endswith(".csh"):
-                f.write(os.path.join(job_dir, name) + "\n")
+        for p in sorted(written_paths):
+            f.write(p + "\n")
     return n_written
 
 

@@ -155,6 +155,11 @@ def _block_scores_kernel(t_codes, q_codes, lut, t_starts, q_starts, sizes,
 # Without this, each engine run re-ships the genome over the host->device
 # link (measured 15.6 s for a 330 Mb chrom as int32 on the tunneled v5e).
 _DEV_CODES: dict = {}
+# Evict by total bytes, not entry count: each entry pins a
+# chromosome-sized device buffer plus its host codes array, so a
+# count-bounded cache could pin tens of GB before evicting.
+_DEV_CODES_BUDGET = int(os.environ.get("GAT_DEV_CODES_BUDGET",
+                                       4 * 1024 ** 3))
 
 
 def _dev_codes_entry(codes: np.ndarray, pad: int, kind: str):
@@ -166,8 +171,10 @@ def _dev_codes_entry(codes: np.ndarray, pad: int, kind: str):
 
 
 def _dev_codes_store(codes: np.ndarray, pad: int, kind: str, dev) -> None:
-    if len(_DEV_CODES) > 64:
-        _DEV_CODES.clear()
+    total = sum(e[0].nbytes for e in _DEV_CODES.values())
+    while _DEV_CODES and total + codes.nbytes > _DEV_CODES_BUDGET:
+        k = next(iter(_DEV_CODES))          # FIFO: oldest insertion first
+        total -= _DEV_CODES.pop(k)[0].nbytes
     _DEV_CODES[(id(codes), pad, kind)] = (codes, dev)
 
 
