@@ -31,6 +31,7 @@ device path).
 from __future__ import annotations
 
 import io
+import os
 import sys
 from bisect import bisect_left, insort
 from dataclasses import dataclass
@@ -281,6 +282,81 @@ class ChainCleaner:
         tree.build()
         self._valid_breaks(chain_id_count, fill_gap_lists, tree)
 
+    def _replay_break_rows(self, recs, names) -> None:
+        """Replay native break records (GatBreaks rows) into the
+        kent-ordered break/interest hashes."""
+        for row in recs.tolist():
+            (depth, cid, parent, net_idx, lfs, lfe, rfs, rfe,
+             lgs, lge, rgs, rge) = row
+            brk = BreakInfo(depth, cid, parent, names[net_idx],
+                            lfs, lfe, rfs, rfe, lgs, lge, rgs, rge)
+            self._hash_add_true(self.chain_of_interest, cid)
+            self._hash_add_true(self.chain_of_interest, parent)
+            pkey = str(parent)
+            lst = self.break_hash.lookup(pkey)
+            if lst is None:
+                self.break_hash.add(pkey, [brk])
+            else:
+                lst.append(brk)
+
+    def find_breaks_sweep(self, nt, min_score1: int = 3000) -> bool:
+        """Fused break finding straight off the native sweep's node
+        arrays (netscan.cpp gat_breaks_from_sweep): the net writer's
+        subchainInfo/pruning, the NetFilterNonNested two-set splice and
+        the break core all run in C++ with no net text in between.
+        Byte-equivalent to write -> filter -> find_breaks_text (asserted
+        by tests/test_chain_cleaner_parity.py).  Returns False when the
+        native entry point is unavailable."""
+        if self.only_this_chr is not None:
+            return False
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gat_breaks_from_sweep"):
+            return False
+        import ctypes
+        blocks, block_off, headers, _strands, ids, scores = \
+            nt._chain_arrays()
+        nodes = np.ascontiguousarray(nt.nodes_t, np.int64)
+        segs = np.ascontiguousarray(nt.segs_t, np.int64)
+        off = np.zeros(len(nt.t_names) + 1, np.int64)
+        parts = []
+        for i, nm in enumerate(nt.t_names):
+            b = nm.encode()
+            parts.append(b)
+            off[i + 1] = off[i] + len(b)
+        chrom_blob = b"".join(parts)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        int_max = 2 ** 31 - 1
+        res_p = lib.gat_breaks_from_sweep(
+            nodes.ctypes.data_as(i64p), nodes.shape[0],
+            segs.ctypes.data_as(i64p), segs.shape[0],
+            chrom_blob, off.ctypes.data_as(i64p),
+            headers.ctypes.data_as(i64p),
+            blocks.ctypes.data_as(i64p), block_off.ctypes.data_as(i64p),
+            len(ids),
+            ids.ctypes.data_as(i64p), scores.ctypes.data_as(f64p),
+            float(nt.min_score), int(nt.min_fill),
+            min_score1, 0, 0, int_max, int_max, int_max)
+        try:
+            res = res_p.contents
+            err = bytes(res.error).split(b"\0")[0]
+            if err:
+                raise ValueError(err.decode())
+            blob = ctypes.string_at(res.name_blob,
+                                    res.name_off[res.n_nets])
+            names = [blob[res.name_off[i]:res.name_off[i + 1]].decode()
+                     for i in range(res.n_nets)]
+            if res.n_breaks:
+                recs = np.ctypeslib.as_array(
+                    res.breaks, shape=(res.n_breaks, 12)).copy()
+            else:
+                recs = np.zeros((0, 12), np.int64)
+        finally:
+            lib.gat_find_breaks_free(res_p)
+        self._replay_break_rows(recs, names)
+        return True
+
     def find_breaks_text(self, net_text: bytes) -> bool:
         """find_breaks over the native break finder (native/netscan.cpp
         gat_find_breaks): the whole parseFill walk, genomeRangeTree build
@@ -319,19 +395,7 @@ class ChainCleaner:
                     recs = np.zeros((0, 12), np.int64)
             finally:
                 lib.gat_find_breaks_free(res_p)
-            for row in recs.tolist():
-                (depth, cid, parent, net_idx, lfs, lfe, rfs, rfe,
-                 lgs, lge, rgs, rge) = row
-                brk = BreakInfo(depth, cid, parent, names[net_idx],
-                                lfs, lfe, rfs, rfe, lgs, lge, rgs, rge)
-                self._hash_add_true(self.chain_of_interest, cid)
-                self._hash_add_true(self.chain_of_interest, parent)
-                pkey = str(parent)
-                lst = self.break_hash.lookup(pkey)
-                if lst is None:
-                    self.break_hash.add(pkey, [brk])
-                else:
-                    lst.append(brk)
+            self._replay_break_rows(recs, names)
             return True
         res_p = lib.gat_net_scan(buf, len(net_text))
         try:
@@ -1235,7 +1299,24 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
                    "...\n" % in_chain)
         net_source = "in-memory net of %s" % in_chain
         from ..native import get_lib as _get_lib
-        if _get_lib() is not None:
+        breaks_done = False
+        if (_get_lib() is not None and table is not None
+                and only_this_chr is None
+                and os.environ.get("GAT_FUSED_BREAKS", "1") != "0"):
+            # fused fast path: sweep nodes -> writer subchainInfo ->
+            # NetFilterNonNested(12) -> break core, all in C++ without
+            # materializing the net text (netscan.cpp
+            # gat_breaks_from_sweep); equivalent to the text pipeline
+            # below, which remains both the fallback and the oracle the
+            # parity tests compare against
+            from .chain_net import net_tree_t_for_table
+            nt = net_tree_t_for_table(table, t_sizes, q_sizes, min_score=0)
+            if nt is not None and cleaner.find_breaks_sweep(nt):
+                breaks_done = True
+                net_text = None
+        if breaks_done:
+            pass
+        elif _get_lib() is not None:
             # all-bytes path: native net writer -> native two-set filter,
             # no str round trips (byte-identical to the python path)
             t_net_b = io.BytesIO()
@@ -1267,6 +1348,7 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
         verbose(1, "1.1 read net file %s into memory ...\n" % net_source)
         verbose(1, "DONE\n\n")
     else:
+        breaks_done = False
         net_source = net_file
         verbose(1, "1. parsing fills/gaps from %s and getting valid breaks "
                    "...\n" % net_source)
@@ -1283,7 +1365,7 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     verbose(1, "1.2 get fills/gaps from %s ...\n" % net_source)
     verbose(1, "1.3 get aligning regions from %s ...\n" % net_source)
     verbose(1, "1.4 get valid breaks ...\n")
-    if not cleaner.find_breaks_text(net_text):
+    if not breaks_done and not cleaner.find_breaks_text(net_text):
         cleaner.find_breaks(read_nets(io.StringIO(net_text.decode())))
     verbose(1, "DONE\n")
     verbose(1, "DONE (parsing fills/gaps and getting valid breaks)\n\n")

@@ -830,6 +830,28 @@ def _native_net_tree(chains, t_sizes: dict, q_sizes: dict, min_space: int,
                          blocks=blocks, block_off=block_off)
 
 
+def net_tree_t_for_table(table, t_sizes_file: str, q_sizes_file: str,
+                         min_space: int = 25, min_fill: int | None = None,
+                         min_score: float = 0,
+                         incl_hap: bool = False) -> "NativeNetTree | None":
+    """Target-side-only native sweep over a ChainTable, WITHOUT the text
+    writer - for chainCleaner's fused netting->filter->breaks path
+    (gat_breaks_from_sweep).  Mirrors chain_net()'s prep: score-sort
+    check (chainNet.c:945-946) and min_score cutoff.  None when the
+    native library is unavailable."""
+    t_sizes = read_chrom_sizes(t_sizes_file)
+    q_sizes = read_chrom_sizes(q_sizes_file)
+    scores = table.scores
+    if scores.shape[0] and np.any(np.diff(scores) > 0):
+        raise ValueError("input chains must be sorted in order of score")
+    below = np.flatnonzero(scores < min_score)
+    cutoff = int(below[0]) if below.size else scores.shape[0]
+    return _native_net_tree_table(
+        table, np.arange(cutoff), t_sizes, q_sizes, min_space=min_space,
+        min_fill=min_fill, min_score=min_score, incl_hap=incl_hap,
+        sides=1)
+
+
 def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
               t_net_out, q_net_out,
               min_space: int = 25, min_fill: int | None = None,

@@ -247,6 +247,20 @@ def get_lib():
                                     ctypes.c_int64]
     lib.gat_find_breaks_free.argtypes = [ctypes.POINTER(GatBreaks)]
 
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gat_breaks_from_sweep.restype = ctypes.POINTER(GatBreaks)
+    lib.gat_breaks_from_sweep.argtypes = [
+        _i64p, ctypes.c_int64,            # nodes, n_nodes
+        _i64p, ctypes.c_int64,            # segs, n_segs
+        ctypes.c_char_p, _i64p,           # chrom_blob, chrom_off
+        _i64p,                            # headers (n_chains, 5)
+        _i64p, _i64p, ctypes.c_int64,     # blocks, chain_off, n_chains
+        _i64p, ctypes.POINTER(ctypes.c_double),  # ids, scores
+        ctypes.c_double, ctypes.c_int64,  # min_score, min_fill
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # set 1
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # set 2
+    ]
+
     lib.gat_net_write.restype = ctypes.POINTER(ctypes.c_char)
     lib.gat_net_write.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,

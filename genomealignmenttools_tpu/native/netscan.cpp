@@ -225,21 +225,12 @@ struct BreaksState {
   std::vector<int64_t> name_off;
 };
 
-GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
-  auto* res = new GatBreaks();
-  std::memset(res->error, 0, sizeof(res->error));
-  auto* bs = new BreaksState();
-  res->state = bs;
-
-  GatNetScan* scan = gat_net_scan(buf, len);
-  if (scan->error[0]) {
-    std::memcpy(res->error, scan->error, sizeof(res->error));
-    gat_net_scan_free(scan);
-    return res;
-  }
-  const int64_t* nodes = scan->nodes;
-  int64_t n = scan->n_nodes;
-
+// Break-finding core over a 5-wide node stream (depth, t_start, t_size,
+// chain_id [0 = gap, -1 = fill without id], net_idx).  Shared by the
+// text path (gat_find_breaks) and the fused sweep path
+// (gat_breaks_from_sweep).  Returns false + res->error on bad structure.
+static bool breaks_core(const int64_t* nodes, int64_t n,
+                        GatBreaks* res, BreaksState* bs) {
   // parseFill walk: chainId2Count + per-chain fill/gap lists
   KentCountHash counts;
   std::unordered_map<int64_t, std::vector<FillGap>> fg_lists;
@@ -256,8 +247,7 @@ GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
         std::snprintf(res->error, sizeof(res->error),
                       "fill line without an id tag in net input (cannot "
                       "resolve break structure)");
-        gat_net_scan_free(scan);
-        return res;
+        return false;
       }
       if (cid) {
         if ((int64_t)d2c.size() <= depth) d2c.resize(depth + 1, -1);
@@ -268,8 +258,7 @@ GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
             std::snprintf(res->error, sizeof(res->error),
                           "fill at depth %lld without enclosing gap",
                           (long long)depth);
-            gat_net_scan_free(scan);
-            return res;
+            return false;
           }
           const int64_t* g = d2g.data() + 3 * (depth - 1);
           fg_lists[cid].push_back(FillGap{depth, cid, net_idx,
@@ -284,8 +273,7 @@ GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
           std::snprintf(res->error, sizeof(res->error),
                         "gap at depth %lld without parent fill",
                         (long long)depth);
-          gat_net_scan_free(scan);
-          return res;
+          return false;
         }
         int64_t* g = d2g.data() + 3 * depth;
         g[0] = t_start; g[1] = t_start + t_size; g[2] = parent;
@@ -393,15 +381,195 @@ GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
     }
   }
 
-  // hand the net names through (the python side labels breaks by chrom)
-  bs->names.assign(scan->name_blob, scan->name_blob + scan->name_off[scan->n_nets]);
-  bs->name_off.assign(scan->name_off, scan->name_off + scan->n_nets + 1);
   res->n_breaks = (int64_t)bs->breaks.size() / 12;
   res->breaks = bs->breaks.data();
+  return true;
+}
+
+GatBreaks* gat_find_breaks(const char* buf, int64_t len) {
+  auto* res = new GatBreaks();
+  std::memset(res->error, 0, sizeof(res->error));
+  auto* bs = new BreaksState();
+  res->state = bs;
+
+  GatNetScan* scan = gat_net_scan(buf, len);
+  if (scan->error[0]) {
+    std::memcpy(res->error, scan->error, sizeof(res->error));
+    gat_net_scan_free(scan);
+    return res;
+  }
+  if (!breaks_core(scan->nodes, scan->n_nodes, res, bs)) {
+    gat_net_scan_free(scan);
+    return res;
+  }
+  // hand the net names through (the python side labels breaks by chrom)
+  bs->names.assign(scan->name_blob,
+                   scan->name_blob + scan->name_off[scan->n_nets]);
+  bs->name_off.assign(scan->name_off, scan->name_off + scan->n_nets + 1);
   res->n_nets = scan->n_nets;
   res->name_blob = bs->names.data();
   res->name_off = bs->name_off.data();
   gat_net_scan_free(scan);
+  return res;
+}
+
+// Fused netting -> NetFilterNonNested(12-mode) -> break finding over the
+// sweep's node arrays, skipping the net TEXT entirely.  Semantics mirror
+// the exact text pipeline used by chainCleaner's internal netting
+// (chainCleaner.c:1660 "chainNet -minScore=0 ... | NetFilterNonNested
+// -minScore1 3000"):
+//
+//   stage A (netwrite.cpp gat_net_write, chainNet.c subchainInfo
+//   795-843 + rOutputFill 858-878): per-fill subSize/subScore; a fill
+//   failing (subScore >= min_score && subSize >= min_fill) prunes its
+//   whole subtree; a chrom's "net" header would print regardless.
+//
+//   stage B (netwrite.cpp gat_netfilter12 / NetFilterNonNested.perl
+//   144-243, 424-458): fills pass iff printed score (%.0f) / tSpan /
+//   qSpan meet set1 or set2.  A dropped fill is spliced out: its direct
+//   gap children vanish, deeper lines are promoted 2 spaces left
+//   (depth - 2 per dropped ancestor).  A net survives iff >= 1 fill
+//   passed.
+//
+//   stage C: breaks_core on the resulting (depth, tStart, tSize, id,
+//   net) stream - identical to parsing the filtered text.
+//
+// t-side only (is_q = 0): the q net goes to /dev/null in the reference.
+GatBreaks* gat_breaks_from_sweep(
+    const int64_t* nodes, int64_t n_nodes,          // sweep (n, 7)
+    const int64_t* segs, int64_t n_segs,            // (n_segs, 3)
+    const char* chrom_blob, const int64_t* chrom_off,
+    const int64_t* headers,                         // (n_chains, 5)
+    const int64_t* blocks, const int64_t* chain_off, int64_t n_chains,
+    const int64_t* ids, const double* scores,
+    double min_score, int64_t min_fill,
+    int64_t s1, int64_t t1, int64_t q1,
+    int64_t s2, int64_t t2, int64_t q2) {
+  (void)n_nodes;
+  auto* res = new GatBreaks();
+  std::memset(res->error, 0, sizeof(res->error));
+  auto* bs = new BreaksState();
+  res->state = bs;
+
+  // per-chain prefix aligned-length sums (as the writer builds)
+  int64_t total_blocks = chain_off[n_chains];
+  std::vector<int64_t> pref(total_blocks + n_chains + 1);
+  for (int64_t ci = 0; ci < n_chains; ++ci) {
+    int64_t* pp = pref.data() + chain_off[ci] + ci;
+    pp[0] = 0;
+    const int64_t* b = blocks + chain_off[ci] * 4;
+    int64_t nb = chain_off[ci + 1] - chain_off[ci];
+    for (int64_t j = 0; j < nb; ++j)
+      pp[j + 1] = pp[j] + (b[j * 4 + 1] - b[j * 4]);
+  }
+
+  // printf("%.0f", v) >= thr, without formatting: %.0f rounds to nearest,
+  // ties to even (glibc, IEEE round-half-even)
+  auto printed_ge = [](double v, int64_t thr) -> bool {
+    double lim = (double)thr - 0.5;
+    if (v > lim) return true;
+    if (v < lim) return false;
+    return (thr % 2) == 0;  // tie: rounds up to thr only when thr is even
+  };
+
+  std::vector<int64_t> synth;  // 5-wide stream for breaks_core
+  synth.reserve(1 << 16);
+  bs->name_off.push_back(0);
+  int64_t net_idx = 0;
+
+  for (int64_t si = 0; si < n_segs; ++si) {
+    int64_t chrom = segs[si * 3 + 0];
+    int64_t lo = segs[si * 3 + 1], hi = segs[si * 3 + 2];
+    size_t synth_mark = synth.size();
+    int64_t kept_fills = 0;
+    std::vector<int64_t> dropped;  // original depths of spliced fills
+    int64_t i = lo;
+    while (i < hi) {
+      const int64_t* nd = nodes + i * 7;
+      int64_t is_gap = nd[0], depth = nd[1], s = nd[2], e = nd[3];
+      int64_t os = nd[4], oe = nd[5], cidx = nd[6];
+      while (!dropped.empty() && dropped.back() >= depth)
+        dropped.pop_back();
+      if (is_gap) {
+        // a dropped fill's DIRECT gap children are erased
+        // (eraseGapsMarkSkip level+1 rule); deeper gaps survive promoted
+        if (!(!dropped.empty() && dropped.back() == depth - 1))
+          synth.insert(synth.end(),
+                       {depth - 2 * (int64_t)dropped.size(), s, e - s, 0,
+                        net_idx});
+        ++i;
+        continue;
+      }
+      // stage A: subchainInfo on the t side (col 0)
+      const int64_t* b = blocks + chain_off[cidx] * 4;
+      const int64_t* pp = pref.data() + chain_off[cidx] + cidx;
+      int64_t nb = chain_off[cidx + 1] - chain_off[cidx];
+      int64_t full_size = pp[nb];
+      const int64_t* h = headers + cidx * 5;
+      int64_t c_lo = h[0], c_hi = h[1];  // t bounds, as the writer uses
+      int64_t sub_size;
+      double sub_score;
+      if (s <= c_lo && e >= c_hi) {
+        sub_size = full_size;
+        sub_score = scores[cidx];
+      } else {
+        int64_t lo_b = 0, hi_b = nb;
+        while (lo_b < hi_b) {  // first block with tEnd > s
+          int64_t mid = (lo_b + hi_b) >> 1;
+          if (b[mid * 4 + 1] > s) hi_b = mid;
+          else lo_b = mid + 1;
+        }
+        int64_t j1 = lo_b;
+        lo_b = j1; hi_b = nb;
+        while (lo_b < hi_b) {  // first block with tStart >= e
+          int64_t mid = (lo_b + hi_b) >> 1;
+          if (b[mid * 4] >= e) hi_b = mid;
+          else lo_b = mid + 1;
+        }
+        int64_t j2 = lo_b;
+        sub_size = pp[j2] - pp[j1];
+        if (j2 > j1) {
+          if (b[j1 * 4] < s) sub_size -= s - b[j1 * 4];
+          if (b[(j2 - 1) * 4 + 1] > e) sub_size -= b[(j2 - 1) * 4 + 1] - e;
+        }
+        sub_score = scores[cidx] * (double)sub_size / (double)full_size;
+      }
+      if (!(sub_score >= min_score && sub_size >= min_fill)) {
+        // writer prunes the whole subtree
+        int64_t j = i + 1;
+        while (j < hi && nodes[j * 7 + 1] > depth) ++j;
+        i = j;
+        continue;
+      }
+      // stage B: two-set filter on the PRINTED line's fields
+      int64_t tsz = e - s, qsz = oe - os;
+      bool pass = (printed_ge(sub_score, s1) && tsz >= t1 && qsz >= q1) ||
+                  (printed_ge(sub_score, s2) && tsz >= t2 && qsz >= q2);
+      if (pass) {
+        ++kept_fills;
+        synth.insert(synth.end(),
+                     {depth - 2 * (int64_t)dropped.size(), s, e - s,
+                      ids[cidx], net_idx});
+      } else {
+        dropped.push_back(depth);
+      }
+      ++i;
+    }
+    if (kept_fills == 0) {
+      synth.resize(synth_mark);  // net header would be dropped entirely
+      continue;
+    }
+    bs->names.insert(bs->names.end(), chrom_blob + chrom_off[chrom],
+                     chrom_blob + chrom_off[chrom + 1]);
+    bs->name_off.push_back((int64_t)bs->names.size());
+    ++net_idx;
+  }
+
+  if (!breaks_core(synth.data(), (int64_t)synth.size() / 5, res, bs))
+    return res;
+  res->n_nets = net_idx;
+  res->name_blob = bs->names.data();
+  res->name_off = bs->name_off.data();
   return res;
 }
 

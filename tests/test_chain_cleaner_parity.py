@@ -58,6 +58,25 @@ def test_chain_cleaner_internal_netting(fixtures_dir, golden_dir, tmp_path):
                                       "chainCleaner.out.chain")).read()
 
 
+def test_chain_cleaner_fused_vs_text_breaks(fixtures_dir, golden_dir,
+                                            tmp_path, monkeypatch):
+    """The fused sweep->filter->breaks path (gat_breaks_from_sweep, no net
+    text) must be byte-identical to the text pipeline it replaces
+    (chainNet writer -> NetFilterNonNested -> gat_find_breaks)."""
+    (tmp_path / "fused").mkdir()
+    (tmp_path / "text").mkdir()
+    chain_fused, bed_fused = _run_cleaner(fixtures_dir, tmp_path / "fused",
+                                          net_file=None)
+    monkeypatch.setenv("GAT_FUSED_BREAKS", "0")
+    chain_text, bed_text = _run_cleaner(fixtures_dir, tmp_path / "text",
+                                        net_file=None)
+    assert chain_fused == chain_text
+    assert bed_fused == bed_text
+    # and both match the C golden
+    assert chain_fused == open(os.path.join(
+        golden_dir, "chainCleaner.out.chain")).read()
+
+
 def test_chain_cleaner_batched_device_path(fixtures_dir, golden_dir, tmp_path):
     """The batched prescore + cached replay path (DeviceChainScorer) must be
     byte-identical to the sequential host path."""
