@@ -348,6 +348,24 @@ for _ in range(3):
     t0 = time.time()
     assert run_once() == checksum
     times.append(time.time() - t0)
+# amortized kernel throughput: queue 10 full passes back-to-back, sync
+# once - dispatches pipeline, so the tunnel round trip (~22 ms) is paid
+# once instead of per pass; this is the sustained-kernel number the
+# roofline compares against (single-shot numbers above include the RTT)
+import jax
+burst_s = None
+hbm_bytes = None
+pcs = getattr(scorer, "_pair_chain_scorer", None)
+if pcs is not None:
+    jobs, order = scorer._grouped(chains)
+    nblocks = [chains[i].n_blocks for i in order]
+    hbm_bytes = pcs.resident_hbm_bytes(jobs, nblocks)
+    jax.block_until_ready([pcs.score_async(jobs, nblocks)
+                           for _ in range(2)])
+    t0 = time.time()
+    jax.block_until_ready([pcs.score_async(jobs, nblocks)
+                           for _ in range(10)])
+    burst_s = (time.time() - t0) / 10
 # link physics: dispatch round trip + h2d bandwidth, so the roofline
 # numbers are attributable (tunnel floor vs kernel floor)
 import jax, jax.numpy as jnp, numpy as np
@@ -365,7 +383,8 @@ for _ in range(2):
     jax.device_put(a).block_until_ready()
     h2d_best = min(h2d_best, time.time() - t0)
 h2d_gbs = a.nbytes / h2d_best / 1e9
-print(json.dumps({{"best_s": min(times), "perf": perf_snapshot(),
+print(json.dumps({{"best_s": min(times), "burst_s": burst_s,
+                   "hbm_bytes": hbm_bytes, "perf": perf_snapshot(),
                    "link": {{"dispatch_rtt_ms": round(rtt_ms, 3),
                              "h2d_gbs": round(h2d_gbs, 2)}}}}))
 """
@@ -423,18 +442,30 @@ def main():
                       mode=os.environ.get("GAT_BENCH_RESIDENT_MODE", "pair"))
     if isinstance(dev, dict):
         best_s = dev["best_s"]
-        pair_bytes = meta["aligned_bases"]
-        hbm_gbs = pair_bytes / best_s / 1e9
         RESULT["extra"]["rescore_throughput_mb_s"] = round(
             ali_mb / best_s, 1)
         RESULT["extra"]["rescore_backend"] = "device(pair)"
         if base.get("c_scorechain_mb_s"):
             RESULT["extra"]["rescore_vs_c_scorechain"] = round(
                 (ali_mb / best_s) / base["c_scorechain_mb_s"], 2)
+        # roofline vs REAL resident HBM traffic (padded pair tiles +
+        # per-chunk combine metadata, not bare aligned bases), both
+        # single-shot (includes the ~22 ms tunnel RTT per sync) and
+        # amortized over a 10-deep pipelined burst (RTT paid once -
+        # the sustained-kernel number)
+        hbm_bytes = dev.get("hbm_bytes") or meta["aligned_bases"]
+        burst_s = dev.get("burst_s")
         RESULT["extra"]["rescore_roofline"] = {
-            "bytes_hbm_per_run": pair_bytes,
-            "achieved_gbs": round(hbm_gbs, 2),
-            "pct_roofline_v5e": round(100 * hbm_gbs / 819, 2),
+            "bytes_hbm_per_run": hbm_bytes,
+            "aligned_bytes_per_run": meta["aligned_bases"],
+            "singleshot_gbs": round(hbm_bytes / best_s / 1e9, 2),
+            "sustained_gbs": (round(hbm_bytes / burst_s / 1e9, 2)
+                              if burst_s else None),
+            "sustained_mb_aligned_s": (round(ali_mb / burst_s, 1)
+                                       if burst_s else None),
+            "pct_roofline_v5e_sustained": (
+                round(100 * hbm_bytes / burst_s / 1e9 / 819, 2)
+                if burst_s else None),
             "n_dispatches_3runs": dev["perf"]["dispatches"],
             "h2d_bytes_3runs": dev["perf"]["h2d_bytes"],
             "d2h_bytes_3runs": dev["perf"]["d2h_bytes"],

@@ -44,12 +44,16 @@ def get_lib():
     _tried = True
     if os.environ.get("GAT_NATIVE", "1") == "0":
         return None
-    newest_src = max(os.path.getmtime(s) for s in _SRCS)
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
-        if not _build():
-            return None
+    # GAT_NATIVE_SO: load a pre-built library instead (e.g. the
+    # -fsanitize=thread build from tools/tsan_check.sh)
+    so = os.environ.get("GAT_NATIVE_SO", _SO)
+    if so == _SO:
+        newest_src = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
+            if not _build():
+                return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
         return None
 

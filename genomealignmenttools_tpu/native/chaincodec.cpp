@@ -17,6 +17,7 @@
 #include <thread>
 #include <unordered_map>
 #include <vector>
+#include "gat_threads.h"
 
 extern "C" {
 
@@ -211,8 +212,7 @@ ChainArrays* gat_chain_parse(const char* buf, int64_t len) {
     ChainArrays* out = (ChainArrays*)calloc(1, sizeof(ChainArrays));
     const char* end = buf + len;
 
-    int hw = (int)std::thread::hardware_concurrency();
-    int n_threads = hw > 1 ? (hw > 16 ? 16 : hw) : 1;
+    int n_threads = gat_thread_count();
     if (len < (1 << 20)) n_threads = 1;
 
     // segment boundaries at "\nchain " starts
@@ -455,8 +455,7 @@ char* gat_chain_serialize_ord(
         int64_t i = order ? order[k] : k;
         total_blocks += block_offsets[i + 1] - block_offsets[i];
     }
-    int hw = (int)std::thread::hardware_concurrency();
-    int n_threads = hw > 1 ? (hw > 16 ? 16 : hw) : 1;
+    int n_threads = gat_thread_count();
     if (n_chains < 64 || total_blocks < (1 << 16)) n_threads = 1;
 
     if (n_threads == 1) {

@@ -23,6 +23,7 @@
 #include <thread>
 #include <set>
 #include <vector>
+#include "gat_threads.h"
 
 namespace {
 
@@ -420,8 +421,7 @@ GatNetResult *gat_net_sweep_sides(
           emit_fill(side, fi, 1, chrom_emits[c]);
       }
     };
-    int hw = (int)std::thread::hardware_concurrency();
-    int n_threads = hw > 1 ? (hw > 16 ? 16 : hw) : 1;
+    int n_threads = gat_thread_count();
     if ((int64_t)n_threads > (int64_t)order.size())
       n_threads = (int)order.size();
     if (n_chains < 4096) n_threads = 1;

@@ -16,6 +16,7 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include "gat_threads.h"
 
 namespace {
 
@@ -201,8 +202,7 @@ char* gat_net_write(
     }
     };  // write_segs
 
-    int hw = (int)std::thread::hardware_concurrency();
-    int n_threads = hw > 1 ? (hw > 16 ? 16 : hw) : 1;
+    int n_threads = gat_thread_count();
     if (n_segs < 2 || n_nodes < (1 << 14)) n_threads = 1;
     if (n_threads == 1) {
         write_segs(0, n_segs, buf);

@@ -40,6 +40,15 @@ import numpy as np
 
 from .pallas_rescore import pack_lut
 
+def _n_threads(cap: int = 16) -> int:
+    """Native worker-thread count; GAT_THREADS=N overrides (1 = the
+    determinism oracle, tests/test_thread_determinism.py)."""
+    env = os.environ.get("GAT_THREADS")
+    if env and env.isdigit() and int(env) >= 1:
+        return min(int(env), cap)
+    return min(os.cpu_count() or 1, cap)
+
+
 CHUNK = 128          # bases per packed row (one lane vreg; |chunk sum| < 2^15)
 ROW_PAD = 1024       # minimum row-count bucket
 
@@ -114,7 +123,7 @@ def _fill_pairs(t_codes, q_codes, c_toff, c_qoff, c_len, t8, q8, m,
             c_toff.ctypes.data_as(i64p), c_qoff.ctypes.data_as(i64p),
             c_len.ctypes.data_as(i64p), m, chunk,
             t8.ctypes.data_as(u8p), q8.ctypes.data_as(u8p),
-            min(os.cpu_count() or 1, 16))
+            _n_threads())
     else:
         lane = np.arange(chunk, dtype=np.int64)
         t_idx = np.minimum(c_toff[:, None] + lane, t_codes.shape[0] - 1)
@@ -137,7 +146,7 @@ def _fill_combined(t_codes, q_codes, c_toff, c_qoff, c_len, c8, m,
             t_codes.ctypes.data_as(u8p), q_codes.ctypes.data_as(u8p),
             c_toff.ctypes.data_as(i64p), c_qoff.ctypes.data_as(i64p),
             c_len.ctypes.data_as(i64p), m, chunk,
-            c8.ctypes.data_as(u8p), min(os.cpu_count() or 1, 16))
+            c8.ctypes.data_as(u8p), _n_threads())
     else:
         lane = np.arange(chunk, dtype=np.int64)
         t_idx = np.minimum(c_toff[:, None] + lane, t_codes.shape[0] - 1)
@@ -298,7 +307,7 @@ class PairBlockScorer:
                         b.ctypes.data_as(i64p), b.shape[0],
                         self.lut25.ctypes.data_as(i32p),
                         bs.ctypes.data_as(i64p),
-                        min(os.cpu_count() or 1, 16))
+                        _n_threads())
                     outs.append(bs)
                     n_blocks += b.shape[0]
                 flat = np.concatenate(outs) if outs else np.zeros(0, np.int64)
@@ -313,7 +322,7 @@ class PairBlockScorer:
                     CHUNK, self.lut25.ctypes.data_as(
                         ctypes.POINTER(ctypes.c_int32)),
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                    min(os.cpu_count() or 1, 16))
+                    _n_threads())
             else:  # numpy fallback (no C++ toolchain)
                 out = self.lut25[c8[:m]].sum(axis=1).astype(np.int16)
             return out, c_block, n_blocks
@@ -444,10 +453,26 @@ def _stage_cumsum(dp, n):
     return (w + rp[:, None]).reshape(-1)[:n]
 
 
+# g - base[chain_of] without the M-sized gather: base[chain_of] is an
+# M-element gather from a tiny table, which TPUs execute at ~0.1 Gelem/s
+# (measured: 85 ms of the pipeline's 113 ms device time at chr1 scale).
+# Instead scatter each chain's base DELTA at its start chunk and
+# forward-fill by prefix sum - an n_chains-sized scatter + one cumsum
+# pass (~7 ms).  Kept as three small jits (scatter / cumsum / subtract):
+# fusing the pad/reshape into the cumulative op triggers the pathological
+# compile documented above.
+
 @jax.jit
-def _stage_seg_base(g, start_idx, chain_of):
+def _stage_base_scatter(g, start_idx):
     base = jnp.where(start_idx > 0, g[jnp.maximum(start_idx - 1, 0)], 0)
-    return g - base[chain_of]
+    deltas = jnp.diff(base, prepend=jnp.zeros(1, base.dtype))
+    return _combine_pad(jnp.zeros(g.shape[0], g.dtype)
+                        .at[start_idx].add(deltas), 0)
+
+
+@jax.jit
+def _stage_sub(g, base_fill):
+    return g - base_fill
 
 
 @jax.jit
@@ -502,7 +527,8 @@ def _pair_chain_scores(c8, packed_lut, bias, first, sample,
         s = _chunk_sums_i32(c8, packed_lut)
         g = _stage_cumsum(_stage_delta(s, bias), n)
         chain_of64 = chain_of.astype(jnp.int64)
-        c = _stage_seg_base(g, start_idx, chain_of)
+        c = _stage_sub(g, _stage_cumsum(
+            _stage_base_scatter(g, start_idx), n))
         vp = _stage_m(c, s.astype(jnp.int64), first, sample, chain_of64)
         wmin = _stage_cummin(vp, n)
         sp = _stage_sampled(wmin, c, chain_of64, sample)
@@ -594,15 +620,33 @@ class PairChainScorer:
         self._meta_cache[ck] = ([b for (_, _, _, b) in jobs], meta)
         return meta
 
-    def score(self, jobs, chain_nblocks: list[int]):
-        """[(global, local, ali)] per chain, one device sync."""
+    def score_async(self, jobs, chain_nblocks: list[int]):
+        """Launch one full rescore pass; returns the (n_chains, 2) device
+        array WITHOUT syncing (amortized-throughput benchmarking: queue N
+        passes back-to-back, block once - the link round trip is paid
+        once instead of per pass)."""
         (dev_c8, bias, first, sample, chain_of, start_idx,
-         end_idx, ali) = self._meta(jobs, chain_nblocks)
+         end_idx, _ali) = self._meta(jobs, chain_nblocks)
         from .rescore import PERF
         PERF["dispatches"] += 1
-        out = np.asarray(_pair_chain_scores(
+        return _pair_chain_scores(
             dev_c8, self.pair.packed_lut, bias, first, sample,
-            chain_of, start_idx, end_idx))
+            chain_of, start_idx, end_idx)
+
+    def resident_hbm_bytes(self, jobs, chain_nblocks: list[int]) -> int:
+        """Actual HBM bytes a rescore pass reads: padded pair tiles +
+        per-chunk combine metadata (honest roofline accounting - the
+        aligned-base count understates real traffic by the pad factor)."""
+        (dev_c8, bias, first, sample, chain_of, _si, _ei,
+         _ali) = self._meta(jobs, chain_nblocks)
+        return int(dev_c8.size + bias.size * 4 + first.size * 4
+                   + sample.size * 4 + chain_of.size * 4)
+
+    def score(self, jobs, chain_nblocks: list[int]):
+        """[(global, local, ali)] per chain, one device sync."""
+        ali = self._meta(jobs, chain_nblocks)[7]
+        out = np.asarray(self.score_async(jobs, chain_nblocks))
+        from .rescore import PERF
         PERF["d2h_bytes"] += out.nbytes
         return [(float(out[i, 0]), float(out[i, 1]), int(ali[i]))
                 for i in range(len(chain_nblocks))]

@@ -32,6 +32,15 @@ import numpy as np
 
 from ..device.genome import Genome
 
+
+def _n_threads(cap: int = 16) -> int:
+    """Native worker-thread count; GAT_THREADS=N overrides (1 = the
+    determinism oracle, tests/test_thread_determinism.py)."""
+    env = os.environ.get("GAT_THREADS")
+    if env and env.isdigit() and int(env) >= 1:
+        return min(int(env), cap)
+    return min(os.cpu_count() or 1, cap)
+
 # jax is imported lazily: the all-native host backends (GAT_RESCORE=
 # hostnative, and `auto` on machines without an accelerator library) must
 # not pay the jax import + backend-probe cost (seconds of cold start, and
@@ -658,7 +667,7 @@ def native_subset_scores(lib, blocks, chain_off, t_ptrs, q_ptrs, lut25,
         np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
         np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
         out.ctypes.data_as(i64p),
-        min(os.cpu_count() or 1, 16))
+        _n_threads())
     return out
 
 
