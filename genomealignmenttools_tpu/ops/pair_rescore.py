@@ -612,9 +612,15 @@ class PairChainScorer:
             put = lambda x: jax.device_put(x, self.meta_sharding)
         else:
             put = jnp.asarray
+        # packed per-chunk flags for the fused pallas combine
+        # (ops/pallas_combine.py): bit0 chain start, bit1 block first,
+        # bit2 block last
+        from .pallas_combine import F_FIRST, F_SAMPLE, F_START
+        flags = (first_chunk * F_FIRST + sample * F_SAMPLE).astype(np.int32)
+        flags[start_idx] |= F_START
         meta = (dev_c8, put(bias), put(first_chunk), put(sample),
                 put(chain_of), jnp.asarray(start_idx),
-                jnp.asarray(end_idx), ali)
+                jnp.asarray(end_idx), ali, put(flags))
         if len(self._meta_cache) > 8:
             self._meta_cache.clear()
         self._meta_cache[ck] = ([b for (_, _, _, b) in jobs], meta)
@@ -626,19 +632,44 @@ class PairChainScorer:
         passes back-to-back, block once - the link round trip is paid
         once instead of per pass)."""
         (dev_c8, bias, first, sample, chain_of, start_idx,
-         end_idx, _ali) = self._meta(jobs, chain_nblocks)
+         end_idx, _ali, flags) = self._meta(jobs, chain_nblocks)
         from .rescore import PERF
         PERF["dispatches"] += 1
+        if self._use_fused():
+            from .pallas_combine import (pair_combine_finish,
+                                         pair_combine_scan)
+            s = _chunk_sums_i32(dev_c8, self.pair.packed_lut)
+            c, w = pair_combine_scan(
+                s, bias, flags,
+                interpret=os.environ.get("GAT_PALLAS_INTERPRET") == "1")
+            return pair_combine_finish(c, w, end_idx)
         return _pair_chain_scores(
             dev_c8, self.pair.packed_lut, bias, first, sample,
             chain_of, start_idx, end_idx)
+
+    def _use_fused(self) -> bool:
+        """Fused pallas combine (one VMEM-resident pass instead of four
+        HBM-round-trip cumulative ops) on real accelerators; the staged
+        x64 pipeline remains the CPU/test path and the oracle
+        (tests/test_pallas_combine.py) - GAT_PAIR_COMBINE overrides."""
+        mode = os.environ.get("GAT_PAIR_COMBINE", "auto")
+        if mode == "fused":
+            return True
+        if mode == "staged":
+            return False
+        # sharded meta runs the staged combine under GSPMD (a pallas_call
+        # does not auto-partition over the mesh)
+        return jax.default_backend() != "cpu" and self.meta_sharding is None
 
     def resident_hbm_bytes(self, jobs, chain_nblocks: list[int]) -> int:
         """Actual HBM bytes a rescore pass reads: padded pair tiles +
         per-chunk combine metadata (honest roofline accounting - the
         aligned-base count understates real traffic by the pad factor)."""
-        (dev_c8, bias, first, sample, chain_of, _si, _ei,
-         _ali) = self._meta(jobs, chain_nblocks)
+        meta = self._meta(jobs, chain_nblocks)
+        dev_c8 = meta[0]
+        if self._use_fused():  # s + bias + flags read, c + w written
+            return int(dev_c8.size + 5 * meta[1].size * 4)
+        (dev_c8, bias, first, sample, chain_of) = meta[:5]
         return int(dev_c8.size + bias.size * 4 + first.size * 4
                    + sample.size * 4 + chain_of.size * 4)
 

@@ -113,6 +113,17 @@ class GapAligner:
                  char_matrix: np.ndarray | None = None,
                  max_insert: int = 100, max_ext: int = 2_000):
         self.lut = np.asarray(lut, dtype=np.int64)
+        # HSP/DP scoring penalizes N like lastz (characters outside the
+        # matrix score as the worst mismatch) so ungapped extension stops
+        # at N runs and the gapped DP strictly prefers gapping over them,
+        # instead of coasting through at kent's N=0 chain-scoring
+        # semantics and picking up off-diagonal noise beyond
+        # (tests/test_planted_alignment.py n_run_gap).  Emitted block
+        # scores still use self.lut (kent semantics, axt.c:431).
+        self._bad_n = int(self.lut[:4, :4].min())
+        self.hsp_lut = self.lut.copy()
+        self.hsp_lut[4, :] = self._bad_n
+        self.hsp_lut[:, 4] = self._bad_n
         self.seed_len = seed_len
         self.hsp_threshold = hsp_threshold
         self.max_region = max_region
@@ -145,7 +156,7 @@ class GapAligner:
             qa = qa[::-1]
         dash = ord("-")
         both = (ta != dash) & (qa != dash)
-        score = int(self.char_matrix[ta[both], qa[both]].sum())
+        score = int(self._dp_char_matrix()[ta[both], qa[both]].sum())
         # affine gap charges: O for the first base, E per extra
         # (bandExt.c state init, bandExt.c:129-141)
         gap = ~both
@@ -175,14 +186,27 @@ class GapAligner:
                                    q_anchor - q_off1, q_anchor - q_off0])
         return blocks, score
 
+    def _dp_char_matrix(self) -> np.ndarray:
+        """char_matrix with 'n'/'N' rows/cols at the worst mismatch (the
+        lastz treatment of off-matrix characters) for the gapped DP, so
+        gapping over an N run strictly beats pairing through it."""
+        cached = getattr(self, "_dp_cm", None)
+        if cached is None:
+            m = self.char_matrix.copy()
+            for ch in b"nN":
+                m[ch, :] = self._bad_n
+                m[:, ch] = self._bad_n
+            cached = self._dp_cm = m
+        return cached
+
     def _band_batch(self):
         cached = getattr(self, "_band_batch_obj", None)
         if cached is None:
             from .pallas_band import BandExtBatch
             cached = self._band_batch_obj = BandExtBatch(
-                False, self.char_matrix, self.gap_open, self.gap_extend,
-                self.max_insert, a_max=max(256, -(-self.max_ext // 128)
-                                           * 128))
+                False, self._dp_char_matrix(), self.gap_open,
+                self.gap_extend, self.max_insert,
+                a_max=max(256, -(-self.max_ext // 128) * 128))
         return cached
 
     def _gapped(self, hsps: list, t_region: np.ndarray, q_region: np.ndarray,
@@ -331,7 +355,7 @@ class GapAligner:
         each window's best segment score; the exact recursive
         _max_segments (byte-parity semantics) then runs only on windows
         whose best reaches the K threshold."""
-        lut = self.lut
+        lut = self.hsp_lut
         blocks = []
         lens = (w1 - w0).astype(np.int64)
         order = np.argsort(lens, kind="stable")  # batch similar lengths

@@ -76,6 +76,41 @@ CASES = [
         # lastz '[unmask]' RepeatFiller.py:413-416)
         "repeat_period": 17, "repeat_span": 900,
     },
+    {
+        "name": "n_run_gap",
+        "seed": 606,
+        "t_len": 18000, "q_len": 18000, "t0": 6800, "q0": 7100,
+        # the 12 inserted t bases are N (code 4, scores 0): the gapped
+        # stage must place the q-side gap exactly across the N run -
+        # sliding by k trades k matches (+91..100) for k N-pairings (0),
+        # strictly worse; seeds containing N are excluded, same as lastz
+        "pieces": [[250, 12, 0], [220, 0, 0]],
+        "subs": [[0, 70], [1, 90]],
+        "n_fill_t": True,
+    },
+    {
+        "name": "softmask_seed_boundary",
+        "seed": 707,
+        "t_len": 15000, "q_len": 15000, "t0": 6200, "q0": 6500,
+        "pieces": [[300, 0, 0]],
+        "subs": [[0, 150]],
+        # left 200 bases of the copy are soft-masked: under lastz's
+        # default masked seeding no word can seed there, but gapped
+        # extension must still recover the full planted block by
+        # extending back through the masked half
+        "t_softmask": [[6200, 6400]],
+    },
+    {
+        "name": "softmask_full_copy",
+        "seed": 808,
+        "t_len": 15000, "q_len": 15000, "t0": 6300, "q0": 6600,
+        "pieces": [[280, 0, 0]],
+        "subs": [[0, 140]],
+        # the WHOLE copy is soft-masked: masked seeding must find
+        # nothing; only '[unmask]' seeding (the RepeatFiller regime,
+        # RepeatFiller.py:413-416) recovers it
+        "t_softmask": [[6300, 6580]],
+    },
 ]
 
 
@@ -126,8 +161,13 @@ def build_case(spec):
             # slide left / next piece's diagonal) AND q[qe-dt+i] (gap
             # slide right / cross-junction HSP extension on the next
             # piece's diagonal) - any alternative placement scores
-            # strictly worse
+            # strictly worse.  n_fill_t: fill with N instead (code 4,
+            # scores 0 vs everything) - a slide still trades matches for
+            # N-pairings, strictly worse under any positive-match matrix
             for i in range(dt):
+                if spec.get("n_fill_t"):
+                    t[te + i] = 4
+                    continue
                 avoid = {int(q[qe + i]) if qe + i < q.shape[0] else -1,
                          int(q[qe - dt + i])}
                 t[te + i] = next(c for c in range(4) if c not in avoid)

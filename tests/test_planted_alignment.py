@@ -161,3 +161,57 @@ def test_planted_end_to_end_repeatfiller(tmp_path):
                & (b[:, 1] <= planted[-1][1] + 50)]
     assert _merge_abutting(inside.tolist()) == planted, \
         (inside.tolist(), planted)
+
+
+def _seed_codes_with_mask(t, spec):
+    """Seed-only code array: soft-masked intervals set to N (code 4) -
+    lastz's default masked seeding, where repeats cannot seed but
+    extensions still score through them (RepeatFiller.py:413-416 lifts
+    this with '[unmask]')."""
+    t_seed = t.copy()
+    for a, b in spec.get("t_softmask", []):
+        t_seed[a:b] = 4
+    return t_seed
+
+
+def test_softmask_boundary_masked_seeding_recovers():
+    """Half-masked copy: masked seeding can only seed in the unmasked
+    half, but gapped extension must still recover the FULL planted block
+    through the masked half - exact equality, both seed modes."""
+    from tests.make_planted import build_case
+    case = [c for c in _cases()
+            if c["spec"]["name"] == "softmask_seed_boundary"][0]
+    spec = case["spec"]
+    t, q, _ = build_case(spec)
+    planted = _merge_abutting(case["planted_blocks"])
+    al = _aligner()
+    for t_seed in (None, _seed_codes_with_mask(t, spec)):
+        got = al.align(t, q, 0, t.shape[0], 0, q.shape[0],
+                       t_seed_codes=t_seed)
+        got4 = _merge_abutting(sorted([b[:4] for b in got]))
+        on_target = [b for b in got4
+                     if any(b[0] < pb[1] and b[1] > pb[0] for pb in planted)]
+        assert on_target == planted, (t_seed is None, on_target, planted)
+
+
+def test_softmask_full_copy_requires_unmask():
+    """Fully-masked copy: masked seeding (lastz default) must find
+    nothing on target; '[unmask]' seeding (the RepeatFiller regime)
+    recovers the planted block exactly."""
+    from tests.make_planted import build_case
+    case = [c for c in _cases()
+            if c["spec"]["name"] == "softmask_full_copy"][0]
+    spec = case["spec"]
+    t, q, _ = build_case(spec)
+    planted = _merge_abutting(case["planted_blocks"])
+    al = _aligner()
+    masked = al.align(t, q, 0, t.shape[0], 0, q.shape[0],
+                      t_seed_codes=_seed_codes_with_mask(t, spec))
+    on_target = [b for b in masked
+                 if any(b[0] < pb[1] and b[1] > pb[0] for pb in planted)]
+    assert on_target == [], on_target
+    unmasked = al.align(t, q, 0, t.shape[0], 0, q.shape[0])
+    got4 = _merge_abutting(sorted([b[:4] for b in unmasked]))
+    on_target = [b for b in got4
+                 if any(b[0] < pb[1] and b[1] > pb[0] for pb in planted)]
+    assert on_target == planted, (on_target, planted)
