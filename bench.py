@@ -341,6 +341,8 @@ scorer = DeviceChainScorer(score_scheme_default(), gap_calc_default(),
                            Genome({meta["t2bit"]!r}), Genome({meta["q2bit"]!r}))
 def run_once():
     return sum(g + loc for (g, loc, _a) in scorer.score_chains(chains))
+def _timed(fn):
+    t0 = time.time(); fn(); return time.time() - t0
 checksum = run_once()
 perf_reset()
 times = []
@@ -348,10 +350,13 @@ for _ in range(3):
     t0 = time.time()
     assert run_once() == checksum
     times.append(time.time() - t0)
-# amortized kernel throughput: queue 10 full passes back-to-back, sync
-# once - dispatches pipeline, so the tunnel round trip (~22 ms) is paid
-# once instead of per pass; this is the sustained-kernel number the
-# roofline compares against (single-shot numbers above include the RTT)
+# sustained kernel throughput via DEPENDENCY-CHAINED passes: pass i+1
+# consumes pass i's output, so the device must execute every pass
+# serially - sound on any runtime (pipelined same-input bursts measure
+# 15x ABOVE the HBM roofline through the axon relay, i.e. the runtime
+# memoizes or fast-acks; that protocol is unusable).  Per-pass time =
+# (T(1+10 passes+fetch) - T(1 pass+fetch)) / 10: the fetch and RTT
+# cancel, leaving pure serialized kernel time.
 import jax
 burst_s = None
 hbm_bytes = None
@@ -360,12 +365,11 @@ if pcs is not None:
     jobs, order = scorer._grouped(chains)
     nblocks = [chains[i].n_blocks for i in order]
     hbm_bytes = pcs.resident_hbm_bytes(jobs, nblocks)
-    jax.block_until_ready([pcs.score_async(jobs, nblocks)
-                           for _ in range(2)])
-    t0 = time.time()
-    jax.block_until_ready([pcs.score_async(jobs, nblocks)
-                           for _ in range(10)])
-    burst_s = (time.time() - t0) / 10
+    pcs.score_chained(jobs, nblocks, 1)       # warm/compile
+    t1 = min(_timed(lambda: pcs.score_chained(jobs, nblocks, 1))
+             for _ in range(2))
+    t11 = _timed(lambda: pcs.score_chained(jobs, nblocks, 11))
+    burst_s = max((t11 - t1) / 10, 1e-9)
 # link physics: dispatch round trip + h2d bandwidth, so the roofline
 # numbers are attributable (tunnel floor vs kernel floor)
 import jax, jax.numpy as jnp, numpy as np

@@ -536,6 +536,37 @@ def _pair_chain_scores(c8, packed_lut, bias, first, sample,
         return _stage_finish(wmax, c, chain_of64, end_idx)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_pass(c8, packed_lut, bias, flags, end_idx, interpret=False):
+    """Chunk sums -> fused pallas segmented combine -> per-chain finish,
+    traced as ONE computation: a full rescore pass is a single dispatch
+    (the tunneled deployment pays a fixed per-dispatch cost, so pass
+    latency is dispatch-bound once the kernels run at HBM speed)."""
+    from .pallas_combine import pair_combine_finish, pair_combine_scan
+    s = _chunk_sums_i32(c8, packed_lut)
+    c, w = pair_combine_scan(s, bias, flags, interpret=interpret)
+    return pair_combine_finish(c, w, end_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_pass_chained(c8, packed_lut, bias, flags, end_idx, feedback,
+                        interpret=False):
+    """_fused_pass with a data dependency on the previous pass's output.
+
+    `feedback` is (2,) int32 from the prior pass; the comparison against
+    INT32_MIN is always 0 at runtime but opaque to the compiler, so every
+    pass in a timing chain MUST execute serially on device.  This is the
+    honest sustained-throughput protocol: pipelined same-input bursts are
+    unsound on runtimes that memoize pure executions or fast-ack
+    block_until_ready (both observed through the axon relay - measured
+    'throughput' 15x above the HBM roofline, physically impossible)."""
+    from .pallas_combine import pair_combine_finish, pair_combine_scan
+    tweak = jnp.where(feedback[0] == jnp.int32(-2147483648), 1, 0)
+    s = _chunk_sums_i32(c8, packed_lut) + tweak
+    c, w = pair_combine_scan(s, bias, flags, interpret=interpret)
+    return pair_combine_finish(c, w, end_idx)
+
+
 class PairChainScorer:
     """Whole-workload (global, local, ali) scoring in one device round trip.
 
@@ -636,16 +667,44 @@ class PairChainScorer:
         from .rescore import PERF
         PERF["dispatches"] += 1
         if self._use_fused():
-            from .pallas_combine import (pair_combine_finish,
-                                         pair_combine_scan)
-            s = _chunk_sums_i32(dev_c8, self.pair.packed_lut)
-            c, w = pair_combine_scan(
-                s, bias, flags,
+            return _fused_pass(
+                dev_c8, self.pair.packed_lut, bias, flags, end_idx,
                 interpret=os.environ.get("GAT_PALLAS_INTERPRET") == "1")
-            return pair_combine_finish(c, w, end_idx)
         return _pair_chain_scores(
             dev_c8, self.pair.packed_lut, bias, first, sample,
             chain_of, start_idx, end_idx)
+
+    def score_chained(self, jobs, chain_nblocks: list[int], n: int):
+        """Run n dependency-chained rescore passes (each consumes the
+        previous pass's output) and return the final (n_chains, 2) numpy
+        result after one real device->host fetch.  Serialized execution
+        is guaranteed by dataflow, so wall-clock/n is a sound sustained
+        per-pass time on any runtime (see _fused_pass_chained)."""
+        (dev_c8, bias, first, sample, chain_of, start_idx,
+         end_idx, _ali, flags) = self._meta(jobs, chain_nblocks)
+        from .rescore import PERF
+        interp = os.environ.get("GAT_PALLAS_INTERPRET") == "1"
+        if self._use_fused():
+            fb = jnp.zeros(2, jnp.int32)
+            out = None
+            for _ in range(n):
+                out = _fused_pass_chained(
+                    dev_c8, self.pair.packed_lut, bias, flags, end_idx,
+                    fb, interpret=interp)
+                fb = out[0]
+                PERF["dispatches"] += 1
+            return np.asarray(out)
+        bias0 = bias
+        out = None
+        for _ in range(n):
+            out = _pair_chain_scores(
+                dev_c8, self.pair.packed_lut, bias0, first, sample,
+                chain_of, start_idx, end_idx)
+            tweak = jnp.where(
+                out[0, 0].astype(jnp.int32) == jnp.int32(-2147483648), 1, 0)
+            bias0 = bias + tweak.astype(bias.dtype)
+            PERF["dispatches"] += 1
+        return np.asarray(out)
 
     def _use_fused(self) -> bool:
         """Fused pallas combine (one VMEM-resident pass instead of four

@@ -76,17 +76,37 @@ def _seg_scan(v, f, op, identity):
     """Segmented inclusive scan over the row-major tile.
 
     v: (SL, L) int32 values; f: (SL, L) int32 reset flags (1 = segment
-    start).  Returns (scan, f_prefix) where f_prefix[i] = any reset in
-    the tile at positions <= i (used for cross-tile carry compose)."""
+    start).  Returns (scan, f_prefix) where f_prefix[i] = any REAL reset
+    in the tile at positions <= i (used for cross-tile carry compose).
+
+    The flag shift fills with 0, NOT 1: the value shift already fills
+    with the op identity, so combining past the tile start is a no-op
+    and needs no flag guard - while a fill of 1 would leak fake resets
+    into f_prefix, making the carry compose skip the previous tile's
+    contribution for every chain that crosses a tile boundary and ends
+    anywhere but the tile's last element (found on the chr1-scale
+    workload; the fix is load-bearing for multi-tile correctness)."""
     n = v.shape[0] * v.shape[1]
     k = 1
     while k < n:
         sv = _flat_shift(v, k, identity)
-        sf = _flat_shift(f, k, jnp.int32(1))
+        sf = _flat_shift(f, k, jnp.int32(0))
         v = jnp.where(f > 0, v, op(sv, v))
         f = f | sf
         k *= 2
     return v, f
+
+
+def _last_elem(x, kind):
+    """Scalar at logical position (-1, -1) via a masked reduction -
+    vector->scalar extraction by indexing lowers to dynamic_slice, which
+    Mosaic does not implement (found on real v5e; interpret mode hides it)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    mask = (row == x.shape[0] - 1) & (col == x.shape[1] - 1)
+    if kind == "min":
+        return jnp.min(jnp.where(mask, x, I32_MAX))
+    return jnp.max(jnp.where(mask, x, I32_MIN))
 
 
 def _combine_kernel(s_ref, bias_ref, flags_ref, c_ref, w_ref, carry_ref):
@@ -122,9 +142,9 @@ def _combine_kernel(s_ref, bias_ref, flags_ref, c_ref, w_ref, carry_ref):
 
     c_ref[...] = c
     w_ref[...] = w
-    carry_ref[0] = c[-1, -1]
-    carry_ref[1] = runmin[-1, -1]
-    carry_ref[2] = w[-1, -1]
+    carry_ref[0] = _last_elem(c, "max")
+    carry_ref[1] = _last_elem(runmin, "min")
+    carry_ref[2] = _last_elem(w, "max")
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

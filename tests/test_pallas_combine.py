@@ -83,8 +83,12 @@ def _staged_oracle(s, bias, flags, start_idx, end_idx, m):
                                         jnp.asarray(end_idx)))
 
 
-@pytest.mark.parametrize("seed,n_chains", [(0, 7), (1, 64), (2, 200)])
+@pytest.mark.parametrize("seed,n_chains", [(0, 7), (1, 64), (2, 200),
+                                           (3, 800)])
 def test_fused_combine_matches_staged(seed, n_chains):
+    # (3, 800) spans ~3 tiles: chains cross tile boundaries and end
+    # mid-tile, the case where a poisoned f_prefix skipped the cross-
+    # tile carry (regression for the _seg_scan flag-fill bug)
     rng = np.random.default_rng(seed)
     s, bias, flags, start_idx, end_idx, m = _random_workload(
         rng, n_chains, None)
