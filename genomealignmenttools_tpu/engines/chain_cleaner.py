@@ -994,8 +994,19 @@ class ChainCleaner:
         allowed_parents: process only these break lists (sharded mode);
         removal order tags (list position in el_list_order, sequence
         within the list) are recorded so a shard merge reproduces the
-        single-run removal order exactly."""
+        single-run removal order exactly.
+
+        Fast path: the whole fixed-point loop runs in native C++
+        (native/breakloop.cpp), parallel over independent components,
+        with removals replayed here in sequential order - bit-identical
+        to the python loop below, which remains the oracle (and the
+        debug / -suspectDataFile / sharded / no-toolchain path)."""
         self.removal_tags: list[tuple[int, int]] = []
+        if (allowed_parents is None and not self.debug_out
+                and self.suspect_data_out is None
+                and os.environ.get("GAT_BREAK_LOOP", "1") != "0"
+                and self._loop_over_breaks_native()):
+            return
         self._prescore_breaks(allowed_parents)
         for self._cur_list_pos, (key, break_list) in enumerate(
                 self.break_hash.el_list_order()):
@@ -1056,6 +1067,193 @@ class ChainCleaner:
 
                 if not any_updated_pair or not break_list:
                     break
+
+    def _loop_over_breaks_native(self) -> bool:
+        """Run the whole break loop in native C++ (breakloop.cpp); returns
+        False when unavailable (no lib, device-batched scorer, missing
+        chain) so the caller falls through to the python loop."""
+        scorer = self.scorer
+        dev = getattr(scorer, "_dev", None)
+        host_backed = (dev is None and hasattr(scorer, "t_genome")) or \
+            (dev is not None and getattr(dev, "host_native", False))
+        if not host_backed or not hasattr(scorer, "t_genome"):
+            return False
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gat_break_loop"):
+            return False
+        import ctypes
+
+        from ..ops.pair_rescore import _n_threads
+
+        lists = list(self.break_hash.el_list_order())
+        if not lists:
+            return True
+        rows: dict[int, int] = {}
+        chain_list: list[Chain] = []
+
+        def row_of(cid: int) -> int | None:
+            row = rows.get(cid)
+            if row is None:
+                c = self.chains.get(cid)
+                if c is None:
+                    return None
+                row = rows[cid] = len(chain_list)
+                chain_list.append(c)
+            return row
+
+        chroms: list[str] = []
+        chrom_idx: dict[str, int] = {}
+        breaks_rows: list[list[int]] = []
+        list_off = [0]
+        for _key, break_list in lists:
+            for brk in break_list:
+                pr = row_of(brk.parent_chain_id)
+                br = row_of(brk.chain_id)
+                if pr is None or br is None:
+                    return False  # python loop raises the exact KeyError
+                ci = chrom_idx.get(brk.chrom)
+                if ci is None:
+                    ci = chrom_idx[brk.chrom] = len(chroms)
+                    chroms.append(brk.chrom)
+                breaks_rows.append([
+                    brk.depth, br, pr, ci,
+                    brk.l_fill_start, brk.l_fill_end,
+                    brk.r_fill_start, brk.r_fill_end,
+                    brk.l_gap_start, brk.l_gap_end,
+                    brk.r_gap_start, brk.r_gap_end])
+            list_off.append(len(breaks_rows))
+        n_rows = len(chain_list)
+        n_blocks = np.empty(n_rows, np.int64)
+        blk_ptrs = (ctypes.c_void_p * n_rows)()
+        blk_refs = []  # keep non-contiguous copies alive across the call
+        scores = np.empty(n_rows, np.float64)
+        t_bounds = np.empty((n_rows, 2), np.int64)
+        t_ptrs = (ctypes.c_void_p * n_rows)()
+        q_ptrs = (ctypes.c_void_p * n_rows)()
+        code_refs = []
+        code_cache: dict[tuple, tuple] = {}
+        for i, c in enumerate(chain_list):
+            b = c.blocks
+            if not b.flags.c_contiguous or b.dtype != np.int64:
+                b = np.ascontiguousarray(b, np.int64)
+                blk_refs.append(b)
+            blk_ptrs[i] = b.ctypes.data
+            n_blocks[i] = b.shape[0]
+            scores[i] = c.score
+            t_bounds[i, 0] = c.t_start
+            t_bounds[i, 1] = c.t_end
+            ck = (c.t_name, c.q_name, c.q_strand)
+            ptrs = code_cache.get(ck)
+            if ptrs is None:
+                tc = np.ascontiguousarray(
+                    scorer.t_genome.codes(c.t_name, "+"))
+                qc = np.ascontiguousarray(
+                    scorer.q_genome.codes(c.q_name, c.q_strand))
+                code_refs.append((tc, qc))
+                ptrs = code_cache[ck] = (tc.ctypes.data, qc.ctypes.data)
+            t_ptrs[i] = ptrs[0]
+            q_ptrs[i] = ptrs[1]
+        lut25 = np.zeros(25, np.int32)
+        lut = np.asarray(self.host_scorer.scheme.lut)
+        for qv in range(min(5, lut.shape[0])):
+            for tv in range(min(5, lut.shape[1])):
+                lut25[qv * 5 + tv] = lut[qv, tv]
+        gc = self.host_scorer.gap_calc
+        breaks_arr = np.asarray(breaks_rows, np.int64)
+        list_off_arr = np.asarray(list_off, np.int64)
+        max_bases = min(int(self.max_suspect_bases), 2 ** 62)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        res_p = lib.gat_break_loop(
+            n_rows, blk_ptrs, n_blocks.ctypes.data_as(i64p),
+            scores.ctypes.data_as(f64p), t_bounds.ctypes.data_as(i64p),
+            t_ptrs, q_ptrs, lut25.ctypes.data_as(i32p),
+            int(gc.small_size),
+            gc.q_small.ctypes.data_as(i64p),
+            gc.t_small.ctypes.data_as(i64p),
+            gc.b_small.ctypes.data_as(i64p),
+            gc.long_pos.ctypes.data_as(i64p), int(gc.long_pos.shape[0]),
+            np.ascontiguousarray(gc.q_long).ctypes.data_as(f64p),
+            np.ascontiguousarray(gc.t_long).ctypes.data_as(f64p),
+            np.ascontiguousarray(gc.b_long).ctypes.data_as(f64p),
+            len(lists), list_off_arr.ctypes.data_as(i64p),
+            breaks_arr.shape[0], breaks_arr.ctypes.data_as(i64p),
+            float(self.fold), float(self.lr_fold),
+            float(self.lr_fold_pairs),
+            float(self.max_suspect_score), max_bases,
+            float(self.min_broken_score), int(self.min_lr_gap),
+            1 if self.do_pairs else 0, int(self.max_pair_distance),
+            _n_threads())
+        try:
+            res = res_p.contents
+            err = bytes(res.error).split(b"\0")[0]
+            if err:
+                # fall back to the python loop (raises the exact error)
+                return False
+            n = int(res.n_removals)
+            if n == 0:
+                del code_refs
+                return True
+            rem_i = np.ctypeslib.as_array(res.rem_i, shape=(n, 8)).copy()
+            rem_d = np.ctypeslib.as_array(res.rem_d, shape=(n, 6)).copy()
+            sus_off = np.ctypeslib.as_array(res.sus_off,
+                                            shape=(n + 1,)).copy()
+            sus_blocks = np.ctypeslib.as_array(
+                res.sus_blocks, shape=(int(sus_off[-1]), 4)).copy()
+            final_scores = np.ctypeslib.as_array(res.final_scores,
+                                                 shape=(n_rows,)).copy()
+            score_set = np.ctypeslib.as_array(res.score_set,
+                                              shape=(n_rows,)).copy()
+            rescored = np.ctypeslib.as_array(res.rescored,
+                                             shape=(n_rows,)).copy()
+            rescored_set = np.ctypeslib.as_array(res.rescored_set,
+                                                 shape=(n_rows,)).copy()
+        finally:
+            lib.gat_break_loop_free(res_p)
+        del code_refs
+        # replay removals in sequential order (sorted by native already)
+        for i in range(n):
+            (list_pos, seq, ci, sus_s, sus_e, pr, br,
+             is_pair) = (int(v) for v in rem_i[i])
+            (breaking_score, broken_score, suspect_local, ratio_l,
+             ratio_r, sus_global) = (float(v) for v in rem_d[i])
+            breaking = chain_list[pr]
+            broken_id = chain_list[br].id
+            # no needs_rescoring entry: the native loop already rescored
+            # every mutated chain's final blocks (rescored/rescored_set)
+            color = "0,100,255" if is_pair else "0,0,153"
+            self.bed_lines.append(
+                f"{chroms[ci]}\t{sus_s}\t{sus_e}\t"
+                f"breakingChainID_{breaking.id}_Score_{int(breaking_score)}"
+                f"_brokenChainID_{broken_id}_Score_{int(broken_score)}"
+                f"_suspectLocalScore_{int(suspect_local)}"
+                f"_RatioL_{ratio_l:.2f}_RatioR_{ratio_r:.2f}\t1000\t+\t"
+                f"{sus_s}\t{sus_e}\t{color}\n")
+            nb = np.ascontiguousarray(
+                sus_blocks[int(sus_off[i]):int(sus_off[i + 1])])
+            self.max_chain_id += 1
+            sub_suspect = Chain(
+                score=sus_global,
+                t_name=breaking.t_name, t_size=breaking.t_size,
+                t_start=int(nb[0, 0]), t_end=int(nb[-1, 1]),
+                q_name=breaking.q_name, q_size=breaking.q_size,
+                q_strand=breaking.q_strand,
+                q_start=int(nb[:, 2].min()), q_end=int(nb[:, 3].max()),
+                id=self.max_chain_id, blocks=nb)
+            self.new_id_dict.append((sub_suspect.id, breaking.id))
+            self.suspect_chains.append(sub_suspect)
+            self.removal_tags.append((list_pos, seq))
+            breaking.remove_blocks_in_t_range(sus_s, sus_e)
+            self._mark_removed(breaking.id, sus_s, sus_e)
+        for i in np.flatnonzero(score_set):
+            chain_list[int(i)].score = float(final_scores[int(i)])
+        # write-path getChainScore of mutated chains (overrides any
+        # full-cover side effect, as the python write-time rescore does)
+        for i in np.flatnonzero(rescored_set):
+            chain_list[int(i)].score = float(rescored[int(i)])
+        return True
 
     def _is_valid_pair(self, up: BreakInfo, down: BreakInfo) -> bool:
         if (up.parent_chain_id != down.parent_chain_id

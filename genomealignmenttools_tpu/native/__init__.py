@@ -19,7 +19,8 @@ _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "chainblocks.cpp"),
          os.path.join(_DIR, "netsweep.cpp"),
          os.path.join(_DIR, "netwrite.cpp"),
-         os.path.join(_DIR, "netscan.cpp")]
+         os.path.join(_DIR, "netscan.cpp"),
+         os.path.join(_DIR, "breakloop.cpp")]
 
 _lib = None
 _tried = False
@@ -160,6 +161,44 @@ def get_lib():
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
     ]
+    class GatBreakLoopResult(ctypes.Structure):
+        _fields_ = [
+            ("n_removals", ctypes.c_int64),
+            ("rem_i", ctypes.POINTER(ctypes.c_int64)),
+            ("rem_d", ctypes.POINTER(ctypes.c_double)),
+            ("sus_off", ctypes.POINTER(ctypes.c_int64)),
+            ("sus_blocks", ctypes.POINTER(ctypes.c_int64)),
+            ("final_scores", ctypes.POINTER(ctypes.c_double)),
+            ("score_set", ctypes.POINTER(ctypes.c_uint8)),
+            ("rescored", ctypes.POINTER(ctypes.c_double)),
+            ("rescored_set", ctypes.POINTER(ctypes.c_uint8)),
+            ("error", ctypes.c_char * 256),
+        ]
+
+    lib.GatBreakLoopResult = GatBreakLoopResult
+    lib.gat_break_loop.restype = ctypes.POINTER(GatBreakLoopResult)
+    lib.gat_break_loop.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.gat_break_loop_free.restype = None
+    lib.gat_break_loop_free.argtypes = [ctypes.POINTER(GatBreakLoopResult)]
+
     lib.gat_twobit_decode.restype = None
     lib.gat_twobit_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
