@@ -352,6 +352,7 @@ def bench_resident_hostnative(meta):
 def device_resident_snippet(meta):
     return f"""
 import json, time
+import numpy as np
 from genomealignmenttools_tpu.device.genome import Genome
 from genomealignmenttools_tpu.formats.chain import read_chains
 from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
@@ -361,37 +362,40 @@ from genomealignmenttools_tpu.ops.rescore import (DeviceChainScorer,
 chains = read_chains({meta["chain"]!r})
 scorer = DeviceChainScorer(score_scheme_default(), gap_calc_default(),
                            Genome({meta["t2bit"]!r}), Genome({meta["q2bit"]!r}))
-def run_once():
-    return sum(g + loc for (g, loc, _a) in scorer.score_chains(chains))
 def _timed(fn):
-    t0 = time.time(); fn(); return time.time() - t0
-checksum = run_once()
-perf_reset()
-times = []
-for _ in range(3):
-    t0 = time.time()
-    assert run_once() == checksum
-    times.append(time.time() - t0)
-# sustained kernel throughput via DEPENDENCY-CHAINED passes: pass i+1
-# consumes pass i's output, so the device must execute every pass
-# serially - sound on any runtime (pipelined same-input bursts measure
-# 15x ABOVE the HBM roofline through the axon relay, i.e. the runtime
-# memoizes or fast-acks; that protocol is unusable).  Per-pass time =
-# (T(1+10 passes+fetch) - T(1 pass+fetch)) / 10: the fetch and RTT
-# cancel, leaving pure serialized kernel time.
+    t0 = time.time(); r = fn(); return time.time() - t0, r
+# ONE compiled kernel for everything (remote pallas compiles cost tens
+# of seconds; the driver budget cannot afford two): the dependency-
+# chained pass serves both the single-shot number (n=1: one pass + RTT
+# + fetch) and the sustained number.  Chaining makes pass i+1 consume
+# pass i's output, so the device must execute every pass serially -
+# sound on any runtime (pipelined same-input bursts measure 15x ABOVE
+# the HBM roofline through the axon relay: the runtime memoizes pure
+# executions or fast-acks block_until_ready, so that protocol is
+# unusable).  Sustained per-pass = (T(11 passes) - T(1 pass)) / 10: the
+# fetch and RTT cancel, leaving pure serialized kernel time.
 import jax
 burst_s = None
 hbm_bytes = None
-pcs = getattr(scorer, "_pair_chain_scorer", None)
-if pcs is not None:
-    jobs, order = scorer._grouped(chains)
-    nblocks = [chains[i].n_blocks for i in order]
-    hbm_bytes = pcs.resident_hbm_bytes(jobs, nblocks)
-    pcs.score_chained(jobs, nblocks, 1)       # warm/compile
-    t1 = min(_timed(lambda: pcs.score_chained(jobs, nblocks, 1))
-             for _ in range(2))
-    t11 = _timed(lambda: pcs.score_chained(jobs, nblocks, 11))
-    burst_s = max((t11 - t1) / 10, 1e-9)
+times = []
+from genomealignmenttools_tpu.ops.pair_rescore import (PairBlockScorer,
+                                                       PairChainScorer)
+if not isinstance(scorer._dev, PairBlockScorer) \\
+        or getattr(scorer._dev, "host_native", False):
+    raise SystemExit(3)  # pair scorer unavailable: no resident numbers
+pcs = PairChainScorer(scorer._dev, scorer.gap_calc)
+jobs, order = scorer._grouped(chains)
+nblocks = [chains[i].n_blocks for i in order]
+hbm_bytes = pcs.resident_hbm_bytes(jobs, nblocks)
+perf_reset()
+out0 = pcs.score_chained(jobs, nblocks, 1)    # warm/compile + pack/h2d
+for _ in range(2):
+    dt, out = _timed(lambda: pcs.score_chained(jobs, nblocks, 1))
+    assert np.array_equal(out, out0)          # determinism check
+    times.append(dt)
+t1 = min(times)
+t11, _ = _timed(lambda: pcs.score_chained(jobs, nblocks, 11))
+burst_s = max((t11 - t1) / 10, 1e-9)
 # link physics: dispatch round trip + h2d bandwidth, so the roofline
 # numbers are attributable (tunnel floor vs kernel floor)
 import jax, jax.numpy as jnp, numpy as np
@@ -492,9 +496,9 @@ def main():
             "pct_roofline_v5e_sustained": (
                 round(100 * hbm_bytes / burst_s / 1e9 / 819, 2)
                 if burst_s else None),
-            "n_dispatches_3runs": dev["perf"]["dispatches"],
-            "h2d_bytes_3runs": dev["perf"]["h2d_bytes"],
-            "d2h_bytes_3runs": dev["perf"]["d2h_bytes"],
+            "n_dispatches_probe": dev["perf"]["dispatches"],
+            "h2d_bytes_probe": dev["perf"]["h2d_bytes"],
+            "d2h_bytes_probe": dev["perf"]["d2h_bytes"],
             "link": dev.get("link"),
         }
         _section("resident_device")
