@@ -1213,7 +1213,12 @@ class ChainCleaner:
         finally:
             lib.gat_break_loop_free(res_p)
         del code_refs
-        # replay removals in sequential order (sorted by native already)
+        # replay removals in sequential order (sorted by native already);
+        # block removal is batched per chain at the end - removals on a
+        # chain are disjoint t-ranges and the native loop already enforced
+        # the stepwise first/last-block-survives checks, so the final
+        # block set equals the sequential removes
+        pending_rm: dict[int, list[tuple[int, int]]] = {}
         for i in range(n):
             (list_pos, seq, ci, sus_s, sus_e, pr, br,
              is_pair) = (int(v) for v in rem_i[i])
@@ -1245,8 +1250,17 @@ class ChainCleaner:
             self.new_id_dict.append((sub_suspect.id, breaking.id))
             self.suspect_chains.append(sub_suspect)
             self.removal_tags.append((list_pos, seq))
-            breaking.remove_blocks_in_t_range(sus_s, sus_e)
+            pending_rm.setdefault(pr, []).append((sus_s, sus_e))
             self._mark_removed(breaking.id, sus_s, sus_e)
+        for pr, ranges in pending_rm.items():
+            chain = chain_list[pr]
+            b = chain.blocks
+            drop = np.zeros(b.shape[0], bool)
+            for (s, e) in ranges:
+                lo = int(np.searchsorted(b[:, 0], s, side="left"))
+                hi = int(np.searchsorted(b[:, 0], e, side="left"))
+                drop[lo:hi] = True
+            chain.blocks = b[~drop]
         for i in np.flatnonzero(score_set):
             chain_list[int(i)].score = float(final_scores[int(i)])
         # write-path getChainScore of mutated chains (overrides any

