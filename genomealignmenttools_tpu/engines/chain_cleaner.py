@@ -1162,7 +1162,7 @@ class ChainCleaner:
         gc = self.host_scorer.gap_calc
         breaks_arr = np.asarray(breaks_rows, np.int64)
         list_off_arr = np.asarray(list_off, np.int64)
-        max_bases = min(int(self.max_suspect_bases), 2 ** 62)
+        max_bases = int(min(float(self.max_suspect_bases), float(2 ** 62)))
         i64p = ctypes.POINTER(ctypes.c_int64)
         f64p = ctypes.POINTER(ctypes.c_double)
         i32p = ctypes.POINTER(ctypes.c_int32)
