@@ -64,7 +64,16 @@ def _rendezvous_once(fixtures_dir, out_path):
     error string (connect/timeout) - anything else raises."""
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # hermetic CPU workers: drop any accelerator-relay sitecustomize from
+    # PYTHONPATH (observed to wedge the local coordination service - the
+    # job state watch is CANCELLED and each process sees only itself) and
+    # its env knobs; plain jax imports fine without it
+    extra = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + extra)
+    for k in list(env):
+        if "AXON" in k:
+            env.pop(k)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # one device per process
     procs = [subprocess.Popen(
