@@ -394,8 +394,8 @@ for _ in range(2):
     assert np.array_equal(out, out0)          # determinism check
     times.append(dt)
 t1 = min(times)
-t11, _ = _timed(lambda: pcs.score_chained(jobs, nblocks, 11))
-burst_s = max((t11 - t1) / 10, 1e-9)
+t21, _ = _timed(lambda: pcs.score_chained(jobs, nblocks, 21))
+burst_s = max((t21 - t1) / 20, 1e-9)
 # link physics: dispatch round trip + h2d bandwidth, so the roofline
 # numbers are attributable (tunnel floor vs kernel floor)
 import jax, jax.numpy as jnp, numpy as np
