@@ -332,12 +332,9 @@ def bench_resident_hostnative(meta):
                        for (g, loc, _a) in scorer.score_chains(chains))
 
         checksum = run_once()
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            assert run_once() == checksum
-            times.append(time.time() - t0)
-        return min(times)
+        t0 = time.time()
+        assert run_once() == checksum
+        return time.time() - t0
     finally:
         if env_save is None:
             del os.environ["GAT_RESCORE"]
@@ -467,9 +464,34 @@ def main():
     _section("resident_hostnative")
 
     # -------- device probes, in descending order of value --------
-    # 1. resident rescore throughput (the device's home turf)
+    # 1. resident rescore throughput (the device's home turf).  Before
+    # launching, surface the last successful probe (clearly labeled
+    # cached) so even a watchdog-cut run reports the device story; a
+    # live success below replaces it.
+    dev_cache = os.path.join(work_dir, "RESIDENT_PROBE.json")
+    if os.path.exists(dev_cache):
+        try:
+            c = json.load(open(dev_cache))
+            RESULT["extra"]["rescore_roofline_cached"] = {
+                "note": "last successful device probe on this workload "
+                        "(reported in case the live probe cannot fit "
+                        "this run's budget)",
+                "age_s": round(time.time() - c["ts"], 1),
+                "burst_s": c["dev"].get("burst_s"),
+                "best_s": c["dev"].get("best_s"),
+                "hbm_bytes": c["dev"].get("hbm_bytes"),
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     dev = _device_run(device_resident_snippet(meta), need_s=60.0,
                       mode=os.environ.get("GAT_BENCH_RESIDENT_MODE", "pair"))
+    if isinstance(dev, dict):
+        RESULT["extra"].pop("rescore_roofline_cached", None)
+        try:
+            json.dump({"ts": time.time(), "dev": dev},
+                      open(dev_cache, "w"))
+        except OSError:
+            pass
     if isinstance(dev, dict):
         best_s = dev["best_s"]
         RESULT["extra"]["rescore_throughput_mb_s"] = round(
