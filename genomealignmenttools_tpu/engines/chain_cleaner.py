@@ -1194,6 +1194,17 @@ class ChainCleaner:
                 return False
             n = int(res.n_removals)
             if n == 0:
+                # Even with nothing removed, the native loop may have
+                # applied getChainScore's full-cover side effect (the C
+                # reference mutates chain->score via chainSubsetOnT's
+                # original-chain return, chain.c:471-488) - propagate it
+                # so written scores stay byte-identical.
+                final_scores = np.ctypeslib.as_array(
+                    res.final_scores, shape=(n_rows,)).copy()
+                score_set = np.ctypeslib.as_array(
+                    res.score_set, shape=(n_rows,)).copy()
+                for i in np.flatnonzero(score_set):
+                    chain_list[int(i)].score = float(final_scores[int(i)])
                 del code_refs
                 return True
             rem_i = np.ctypeslib.as_array(res.rem_i, shape=(n, 8)).copy()

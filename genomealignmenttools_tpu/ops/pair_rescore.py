@@ -774,8 +774,13 @@ class PairChainScorer:
                 dev_c8, self.pair.packed_lut, bias0, first, sample,
                 chain_of, start_idx, end_idx,
                 scored=self.pair.score_tiles)
-            tweak = jnp.where(
-                out[0, 0].astype(jnp.int32) == jnp.int32(-2147483648), 1, 0)
+            # data dependency chaining passes for honest timing: compare in
+            # int64 against a value outside the reachable score range (an
+            # int32 cast would wrap legitimate scores whose low 32 bits
+            # hit the sentinel)
+            with jax.enable_x64(True):
+                tweak = jnp.where(
+                    out[0, 0] == jnp.int64(-(2 ** 62)), 1, 0)
             bias0 = bias + tweak.astype(bias.dtype)
             PERF["dispatches"] += 1
         return np.asarray(out)

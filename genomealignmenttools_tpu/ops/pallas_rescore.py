@@ -144,8 +144,8 @@ def _rescore_call(t_bases, q_bases, n_chunks, packed_lut, descs, t_codes,
         in_specs=[
             pl.BlockSpec((1, 3, CMAX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 8, CMAX // 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),

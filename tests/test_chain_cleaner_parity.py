@@ -165,6 +165,53 @@ def test_chain_cleaner_suspect_data_file(fixtures_dir, golden_dir, tmp_path):
         golden_dir, "chainCleaner.suspectData.out.chain")).read()
 
 
+def test_chain_cleaner_zero_removal_score_side_effect(fixtures_dir, tmp_path,
+                                                      monkeypatch):
+    """A run that removes ZERO suspects must still apply getChainScore's
+    full-cover side effect (the C reference mutates chain->score through
+    chainSubsetOnT's original-chain return, chain.c:471-488 +
+    chainCleaner.c:637-641).  Regression for the native break-loop fast
+    path early-returning on n_removals == 0 without copying score_set:
+    perturb every stored score so stored != recomputed, raise
+    foldThreshold so nothing qualifies for removal, and demand the native
+    path byte-match the python oracle."""
+    src = open(os.path.join(fixtures_dir,
+                            "synthetic.scored.sorted.chain")).read()
+    perturbed = []
+    for line in src.splitlines(keepends=True):
+        if line.startswith("chain "):
+            parts = line.split(" ")
+            parts[1] = str(int(parts[1]) + 7919)  # stored != recomputed
+            line = " ".join(parts)
+        perturbed.append(line)
+    in_chain = tmp_path / "perturbed.chain"
+    in_chain.write_text("".join(perturbed))
+
+    def run(sub, native):
+        (tmp_path / sub).mkdir()
+        monkeypatch.setenv("GAT_BREAK_LOOP", "1" if native else "0")
+        out_chain = str(tmp_path / sub / "clean.chain")
+        out_bed = str(tmp_path / sub / "clean.bed")
+        clean_chains(
+            str(in_chain),
+            os.path.join(fixtures_dir, "target.2bit"),
+            os.path.join(fixtures_dir, "query.2bit"),
+            out_chain, out_bed,
+            net_file=os.path.join(fixtures_dir, "cleaner_input.net"),
+            t_sizes=os.path.join(fixtures_dir, "target.chrom.sizes"),
+            q_sizes=os.path.join(fixtures_dir, "query.chrom.sizes"),
+            linear_gap="loose", fold_threshold=1e18)
+        return (open(out_chain).read(), open(out_bed).read())
+
+    chain_nat, bed_nat = run("native", True)
+    chain_py, bed_py = run("oracle", False)
+    assert bed_nat == bed_py == ""  # nothing removed in either path
+    assert chain_nat == chain_py
+    # and the side effect actually fired: at least one written score must
+    # differ from the perturbed input (else this test guards nothing)
+    assert chain_nat != "".join(perturbed)
+
+
 def test_chain_cleaner_only_this(fixtures_dir, golden_dir, tmp_path):
     """-onlyThisChr/-onlyThisStart/-onlyThisEnd restrict cleaning to one
     suspect region; chains on other chroms are dropped entirely
