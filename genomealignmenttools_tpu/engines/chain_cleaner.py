@@ -1404,8 +1404,12 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
                  only_this_start: int = -1,
                  only_this_end: int = -1,
                  **thresholds) -> None:
+    import time as _time
+
+    from ..utils.profiling import phase_add
     from ..utils.verbose import print_mem, verbose, verbosity
 
+    _pt = _time.monotonic()
     scheme = (read_score_scheme(score_scheme) if score_scheme
               else score_scheme_default())
     gap_calc = gap_calc_from_file(linear_gap)
@@ -1476,6 +1480,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     else:
         all_chains = _read_chain_file(in_chain, meta_out=meta_lines.append)
     del _data
+    phase_add("setup+parse", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
 
     # overlap genome decode (+ '-'-strand revcomp) with the netting /
     # filtering stages: the scorers only touch sequences once breaks are
@@ -1592,6 +1598,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
         cleaner.find_breaks(read_nets(io.StringIO(net_text.decode())))
     verbose(1, "DONE\n")
     verbose(1, "DONE (parsing fills/gaps and getting valid breaks)\n\n")
+    phase_add("net+find_breaks", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
 
     verbose(1, "2. reading breaking and broken chains from %s and write "
                "irrelevant chains to %s ...\n" % (in_chain, out_chain_path))
@@ -1607,6 +1615,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
     if debug:
         cleaner.debug_out.pop("interest").close()
     verbose(1, "DONE\n\n")
+    phase_add("split_chains", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
     verbose(1, "3. reading target and query DNA sequences for breaking and "
                "broken chains ...\n")
     verbose(1, "DONE\n\n")
@@ -1637,6 +1647,8 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
             allowed.update(keys)
             owned_ids.update(cids)
     cleaner.loop_over_breaks(allowed)
+    phase_add("break_loop", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
     if suspect_data_file is not None:
         cleaner.suspect_data_out.close()
         cleaner.suspect_data_out = None
@@ -1715,6 +1727,7 @@ def _clean_chains_impl(in_chain: str, t_2bit: str, q_2bit: str,
                 outf.write(line + "\n")
             write_chains(sort_chains_by_score(passthrough + extra), outf)
     verbose(1, "DONE\n\n")
+    phase_add("sort+write", _time.monotonic() - _pt)
     print_mem()
     verbose(1, "\nALL DONE. New chains are in %s. Deleted suspects in %s\n"
             % (out_chain_path, out_bed_path))

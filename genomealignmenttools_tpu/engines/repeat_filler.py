@@ -22,6 +22,7 @@ gapMax 100000 on both sides, scoreThreshold 2000.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -110,25 +111,27 @@ def harvest_gap_jobs(chain_lines: list[str],
     return jobs
 
 
-def run_gap_job(job: GapJob, t_genome: Genome, q_genome: Genome,
-                aligner: GapAligner, scheme, gap_calc,
-                axt_chain_min_score: int = 1000) -> list[Chain]:
-    """Run the per-gap lastz|axtChain|chainSort pipeline in-process.
-
-    Returns mini-chains sorted by score descending (chainSort semantics)."""
+def _gap_job_regions(job: GapJob, t_genome: Genome, q_genome: Genome):
+    """(t_codes, q_codes, t_size, q_size, t_lo, t_hi, q_lo, q_hi) for a
+    gap job; q coords in the strand's space."""
     t_codes = t_genome.codes(job.t_name, "+")
     q_codes = q_genome.codes(job.q_name, job.q_strand)
     q_size = q_genome.seq(job.q_name).size
     t_size = t_genome.seq(job.t_name).size
-    # region bounds, 0-based half open; q coords in the strand's space
+    # region bounds, 0-based half open
     t_lo, t_hi = job.t_block_end - 1, job.t_gap_end
     q_plus_lo, q_plus_hi = job.q_block_end - 1, job.q_gap_end
     if job.q_strand == "-":
         q_lo, q_hi = q_size - q_plus_hi, q_size - q_plus_lo
     else:
         q_lo, q_hi = q_plus_lo, q_plus_hi
+    return t_codes, q_codes, t_size, q_size, t_lo, t_hi, q_lo, q_hi
 
-    hsps = aligner.align(t_codes, q_codes, t_lo, t_hi, q_lo, q_hi)
+
+def _gap_job_chains(job: GapJob, hsps: list, t_codes, q_codes,
+                    t_size: int, q_size: int, scheme, gap_calc,
+                    axt_chain_min_score: int) -> list[Chain]:
+    """axtChain|chainSort over a gap's HSP rows (run_gap_job back half)."""
     if not hsps:
         return []
     sp = SeqPair(job.q_name, job.t_name, job.q_strand)
@@ -137,6 +140,19 @@ def run_gap_job(job: GapJob, t_genome: Genome, q_genome: Genome,
                         gap_calc, axt_chain_min_score)
     chains.sort(key=lambda c: -c.score)  # chainSort
     return chains
+
+
+def run_gap_job(job: GapJob, t_genome: Genome, q_genome: Genome,
+                aligner: GapAligner, scheme, gap_calc,
+                axt_chain_min_score: int = 1000) -> list[Chain]:
+    """Run the per-gap lastz|axtChain|chainSort pipeline in-process.
+
+    Returns mini-chains sorted by score descending (chainSort semantics)."""
+    (t_codes, q_codes, t_size, q_size,
+     t_lo, t_hi, q_lo, q_hi) = _gap_job_regions(job, t_genome, q_genome)
+    hsps = aligner.align(t_codes, q_codes, t_lo, t_hi, q_lo, q_hi)
+    return _gap_job_chains(job, hsps, t_codes, q_codes, t_size, q_size,
+                           scheme, gap_calc, axt_chain_min_score)
 
 
 def splice_lines(job: GapJob, mini: Chain, ref_quirks: bool = False) -> str:
@@ -179,6 +195,49 @@ def splice_lines(job: GapJob, mini: Chain, ref_quirks: bool = False) -> str:
     lines.extend(body[:-1])
     lines.append(f"{body[-1]}\t{last_dt}\t{last_q_gap}")
     return "".join(ln + "\n" for ln in lines)
+
+
+def _run_gap_jobs(jobs, t_genome, q_genome, aligner, scheme, gap_calc,
+                  axt_chain_min_score: int = 1000, chunk: int = 4096):
+    """Yield (job, mini_chains) for every gap job.
+
+    The reference runs one lastz process per gap sequentially
+    (RepeatFiller.py:540-560).  Here the banded-DP extension problems of
+    MANY gaps are concatenated and run through ONE BandExtBatch.run per
+    chunk - on TPU that is one kernel dispatch for thousands of band
+    DPs, instead of a ~29 ms round trip per gap; on host it is the same
+    numpy loop either way (bit-identical results, the problems are
+    self-contained byte strings).  GAT_RF_BATCH=0 forces the sequential
+    per-gap path."""
+    if os.environ.get("GAT_RF_BATCH", "1") == "0":
+        for job in jobs:
+            yield job, run_gap_job(job, t_genome, q_genome, aligner,
+                                   scheme, gap_calc, axt_chain_min_score)
+        return
+    for lo in range(0, len(jobs), chunk):
+        batch = jobs[lo:lo + chunk]
+        ctxs = []          # (job, t_codes, q_codes, t_size, q_size)
+        states = []        # align_prepare state or direct result
+        probs_all = []
+        offsets = []
+        for job in batch:
+            (t_codes, q_codes, t_size, q_size,
+             t_lo, t_hi, q_lo, q_hi) = _gap_job_regions(
+                job, t_genome, q_genome)
+            done, state, probs = aligner.align_prepare(
+                t_codes, q_codes, t_lo, t_hi, q_lo, q_hi)
+            ctxs.append((job, t_codes, q_codes, t_size, q_size))
+            states.append((done, state))
+            offsets.append((len(probs_all), len(probs_all) + len(probs)))
+            probs_all.extend(probs)
+        exts_all = aligner._band_batch().run(probs_all) if probs_all else []
+        for (job, t_codes, q_codes, t_size, q_size), (done, state), \
+                (p0, p1) in zip(ctxs, states, offsets):
+            hsps = (done if state is None
+                    else aligner.align_finish(state, exts_all[p0:p1]))
+            yield job, _gap_job_chains(job, hsps, t_codes, q_codes,
+                                       t_size, q_size, scheme, gap_calc,
+                                       axt_chain_min_score)
 
 
 def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
@@ -248,8 +307,8 @@ def repeat_filler(chain_path: str, t_2bit: str, q_2bit: str, out,
                          char_matrix=scheme.char_matrix())
 
     replacements: dict[int, str] = {}
-    for job in jobs:
-        minis = run_gap_job(job, t_genome, q_genome, aligner, scheme, gap_calc)
+    for job, minis in _run_gap_jobs(jobs, t_genome, q_genome, aligner,
+                                    scheme, gap_calc):
         if not minis:
             continue
         best = minis[0]

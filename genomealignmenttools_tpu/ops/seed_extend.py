@@ -209,14 +209,10 @@ class GapAligner:
                 a_max=max(256, -(-self.max_ext // 128) * 128))
         return cached
 
-    def _gapped(self, hsps: list, t_region: np.ndarray, q_region: np.ndarray,
-                t_lo: int, q_lo: int) -> list:
-        """Extend HSPs across indels; keep alignments scoring >= L.
-
-        All (left, right) extension problems are built up front and run
-        through the batched banded-DP kernel (ops/pallas_band: Pallas on
-        TPU, the numpy band_ext loop elsewhere - identical results), then
-        the best-first coverage replay uses the batch results."""
+    def _gapped_probs(self, hsps: list, t_region: np.ndarray,
+                      q_region: np.ndarray, t_lo: int, q_lo: int):
+        """Build the (left, right) banded-DP extension problems for the
+        best-first sorted HSPs; returns (hsps_sorted, probs)."""
         if self.char_matrix is None:
             from ..formats.scorematrix import score_scheme_default
             self.char_matrix = score_scheme_default().char_matrix()
@@ -235,8 +231,26 @@ class GapAligner:
             probs.append((
                 t_chars[max(0, rt0 - self.max_ext):rt0].tobytes(),
                 q_chars[max(0, rq0 - self.max_ext):rq0].tobytes(), -1))
-        exts = self._band_batch().run(probs)
+        return hsps, probs
 
+    def _gapped(self, hsps: list, t_region: np.ndarray, q_region: np.ndarray,
+                t_lo: int, q_lo: int) -> list:
+        """Extend HSPs across indels; keep alignments scoring >= L.
+
+        All (left, right) extension problems are built up front and run
+        through the batched banded-DP kernel (ops/pallas_band: Pallas on
+        TPU, the numpy band_ext loop elsewhere - identical results), then
+        the best-first coverage replay uses the batch results."""
+        hsps, probs = self._gapped_probs(hsps, t_region, q_region, t_lo, q_lo)
+        exts = self._band_batch().run(probs)
+        return self._gapped_finish(hsps, exts, t_region, q_region,
+                                   t_lo, q_lo)
+
+    def _gapped_finish(self, hsps: list, exts: list,
+                       t_region: np.ndarray, q_region: np.ndarray,
+                       t_lo: int, q_lo: int) -> list:
+        """Replay the best-first coverage using precomputed extension
+        results (exts[2i] = right, exts[2i+1] = left for hsps[i])."""
         covered: list[tuple[int, int, int]] = []  # (diag, t0, t1) in region
         out = []
         for hi, (tS, tE, qS, qE, hsp_score) in enumerate(hsps):
@@ -422,3 +436,44 @@ class GapAligner:
             return self._gapped(blocks, t_region, q_region, t_lo, q_lo)
         blocks.sort(key=lambda b: (b[2], b[0]))
         return blocks
+
+    def align_prepare(self, t_codes: np.ndarray, q_codes: np.ndarray,
+                      t_lo: int, t_hi: int, q_lo: int, q_hi: int,
+                      t_seed_codes: np.ndarray | None = None,
+                      q_seed_codes: np.ndarray | None = None):
+        """First half of align() for cross-region batching: seeds + HSP
+        scan + banded-DP problem construction, WITHOUT running the DP.
+
+        Returns (done, state, probs): when done is not None it is the
+        final result (no gapped stage, or nothing to extend) and
+        state/probs are empty; otherwise run all probs (from many
+        prepare calls, concatenated) through one BandExtBatch.run and
+        hand each region's slice to align_finish(state, exts).  Identical
+        results to per-region align() - the DP problems are
+        self-contained byte strings."""
+        if t_hi - t_lo > self.max_region or q_hi - q_lo > self.max_region:
+            return [], None, []
+        t_region = t_codes[t_lo:t_hi]
+        q_region = q_codes[q_lo:q_hi]
+        t_seed = (t_region if t_seed_codes is None
+                  else t_seed_codes[t_lo:t_hi])
+        q_seed = (q_region if q_seed_codes is None
+                  else q_seed_codes[q_lo:q_hi])
+        diag_w, w0, w1 = self._seed_windows(t_seed, q_seed)
+        blocks = self._scan_windows(t_region, q_region, diag_w, w0, w1,
+                                    t_lo, q_lo)
+        if self.gapped_threshold is None:
+            blocks.sort(key=lambda b: (b[2], b[0]))
+            return blocks, None, []
+        hsps, probs = self._gapped_probs(blocks, t_region, q_region,
+                                         t_lo, q_lo)
+        if not probs:
+            return [], None, []
+        return None, (hsps, t_region, q_region, t_lo, q_lo), probs
+
+    def align_finish(self, state, exts: list) -> list:
+        """Second half of align_prepare: exts must be the BandExtBatch
+        results for exactly this region's probs slice."""
+        hsps, t_region, q_region, t_lo, q_lo = state
+        return self._gapped_finish(hsps, exts, t_region, q_region,
+                                   t_lo, q_lo)

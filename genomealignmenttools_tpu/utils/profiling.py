@@ -34,6 +34,29 @@ def profile_dir() -> str | None:
         else (os.environ.get("GAT_PROFILE") or None)
 
 
+_phase_acc: dict | None = None
+
+
+def phase_acc_start() -> None:
+    """Begin accumulating phase() durations (bench phase breakdowns)."""
+    global _phase_acc
+    _phase_acc = {}
+
+
+def phase_acc_stop() -> dict:
+    """Stop accumulating; returns {phase_name: seconds}."""
+    global _phase_acc
+    acc, _phase_acc = _phase_acc, None
+    return acc or {}
+
+
+def phase_add(name: str, seconds: float) -> None:
+    """Record a phase duration measured by the caller (no-op unless a
+    phase accumulation is active)."""
+    if _phase_acc is not None:
+        _phase_acc[name] = _phase_acc.get(name, 0.0) + seconds
+
+
 @contextlib.contextmanager
 def phase(name: str, level: int = 2):
     """Wall-clock phase timer: 'name: N millis' at the given verbosity."""
@@ -41,8 +64,10 @@ def phase(name: str, level: int = 2):
     try:
         yield
     finally:
-        verbose(level, "%s: %d millis\n"
-                % (name, int((time.monotonic() - t0) * 1000)))
+        dt = time.monotonic() - t0
+        if _phase_acc is not None:
+            _phase_acc[name] = _phase_acc.get(name, 0.0) + dt
+        verbose(level, "%s: %d millis\n" % (name, int(dt * 1000)))
 
 
 @contextlib.contextmanager

@@ -202,3 +202,22 @@ def test_gapped_left_extension_coordinates(tmp_path):
     for ts, te, qs, qe, _sc in found:
         ident = float((tc[ts:te] == qc[qs:qe]).mean())
         assert ident > 0.9, (ts, te, qs, qe, ident)
+
+
+def test_batched_band_path_matches_sequential(fixtures_dir, monkeypatch):
+    """The cross-gap batched band-DP path (one BandExtBatch.run per chunk
+    of gaps) must be byte-identical to the sequential per-gap path, with
+    a chunk small enough to force multiple batches."""
+    import functools
+
+    from genomealignmenttools_tpu.engines import repeat_filler as rf
+    orig = rf._run_gap_jobs
+    batched = _run(fixtures_dir)
+    monkeypatch.setattr(rf, "_run_gap_jobs",
+                        functools.partial(orig, chunk=1))
+    chunked = _run(fixtures_dir)
+    monkeypatch.undo()
+    monkeypatch.setenv("GAT_RF_BATCH", "0")
+    sequential = _run(fixtures_dir)
+    assert batched == sequential
+    assert chunked == sequential
