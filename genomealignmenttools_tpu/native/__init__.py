@@ -20,7 +20,8 @@ _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "netsweep.cpp"),
          os.path.join(_DIR, "netwrite.cpp"),
          os.path.join(_DIR, "netscan.cpp"),
-         os.path.join(_DIR, "breakloop.cpp")]
+         os.path.join(_DIR, "breakloop.cpp"),
+         os.path.join(_DIR, "hspscan.cpp")]
 
 _lib = None
 _tried = False
@@ -206,6 +207,26 @@ def get_lib():
     ]
     lib.gat_break_loop_free.restype = None
     lib.gat_break_loop_free.argtypes = [ctypes.POINTER(GatBreakLoopResult)]
+
+    class GatHspBlocks(ctypes.Structure):
+        _fields_ = [
+            ("n", ctypes.c_int64),
+            ("rows", ctypes.POINTER(ctypes.c_int64)),
+            ("error", ctypes.c_char * 256),
+        ]
+
+    lib.GatHspBlocks = GatHspBlocks
+    lib.gat_hsp_scan.restype = ctypes.POINTER(GatHspBlocks)
+    lib.gat_hsp_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.gat_hsp_free.restype = None
+    lib.gat_hsp_free.argtypes = [ctypes.POINTER(GatHspBlocks)]
 
     lib.gat_twobit_decode.restype = None
     lib.gat_twobit_decode.argtypes = [

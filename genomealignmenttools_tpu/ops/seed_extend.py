@@ -373,6 +373,10 @@ class GapAligner:
         blocks = []
         lens = (w1 - w0).astype(np.int64)
         order = np.argsort(lens, kind="stable")  # batch similar lengths
+        native = self._scan_windows_native(t_region, q_region, diag_w, w0,
+                                           w1, order, t_lo, q_lo)
+        if native is not None:
+            return native
         csum = np.cumsum(lens[order])
         batch_edges = np.searchsorted(
             csum, np.arange(self._SCAN_BATCH, int(csum[-1]) if csum.size
@@ -409,6 +413,51 @@ class GapAligner:
                     blocks.append([t_lo + a + s, t_lo + a + e,
                                    q_lo + a - d + s, q_lo + a - d + e, sc])
         return blocks
+
+    def _scan_windows_native(self, t_region, q_region, diag_w, w0, w1,
+                             order, t_lo: int, q_lo: int) -> list | None:
+        """Threaded C++ scan (native/hspscan.cpp), byte-identical to the
+        numpy path incl. block emission order (windows processed in the
+        caller's stable length-sorted order); None when unavailable."""
+        import os as _os
+
+        if _os.environ.get("GAT_HSP_NATIVE", "1") == "0":
+            return None
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gat_hsp_scan"):
+            return None
+        if order.size == 0:
+            return []
+        lut = self.hsp_lut
+        lut25 = np.zeros(25, np.int32)
+        for qv in range(5):
+            for tv in range(5):
+                lut25[qv * 5 + tv] = lut[qv, tv]
+        import ctypes
+        tr = np.ascontiguousarray(t_region, np.uint8)
+        qr = np.ascontiguousarray(q_region, np.uint8)
+        dw = np.ascontiguousarray(diag_w[order], np.int64)
+        a0 = np.ascontiguousarray(w0[order], np.int64)
+        a1 = np.ascontiguousarray(w1[order], np.int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        res_p = lib.gat_hsp_scan(
+            tr.ctypes.data_as(u8p), tr.shape[0],
+            qr.ctypes.data_as(u8p), qr.shape[0],
+            dw.ctypes.data_as(i64p), a0.ctypes.data_as(i64p),
+            a1.ctypes.data_as(i64p), dw.shape[0],
+            lut25.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(self.hsp_threshold), int(t_lo), int(q_lo), 0)
+        try:
+            n = int(res_p.contents.n)
+            if n == 0:
+                return []
+            rows = np.ctypeslib.as_array(res_p.contents.rows,
+                                         shape=(n, 5)).copy()
+        finally:
+            lib.gat_hsp_free(res_p)
+        return rows.tolist()
 
     def align(self, t_codes: np.ndarray, q_codes: np.ndarray,
               t_lo: int, t_hi: int, q_lo: int, q_hi: int,

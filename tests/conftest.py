@@ -33,3 +33,19 @@ def fixtures_dir():
 @pytest.fixture(scope="session")
 def golden_dir():
     return GOLDEN
+
+
+def hermetic_cpu_env() -> dict:
+    """Subprocess env with any accelerator-relay sitecustomize stripped:
+    tests must not depend on a live device tunnel (the relay's register()
+    overrides JAX_PLATFORMS, so env pinning alone is not enough)."""
+    env = dict(os.environ)
+    extra = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.join(HERE, "..")] + extra)
+    for k in list(env):
+        if "AXON" in k:
+            env.pop(k)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env

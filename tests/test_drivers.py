@@ -222,8 +222,10 @@ def test_patch_chain_make_jobs(fixtures_dir, tmp_path):
     assert n == 2
     scripts = open(job_list).read().splitlines()
     assert len(scripts) == 2
+    from conftest import hermetic_cpu_env
     for s in scripts:
-        subprocess.run(["sh", s], check=True)
+        subprocess.run(["sh", s], check=True, env=hermetic_cpu_env(),
+                       timeout=300)
     # union of shard outputs == the unsharded run
     full = io.StringIO()
     patch_chain(

@@ -221,3 +221,13 @@ def test_batched_band_path_matches_sequential(fixtures_dir, monkeypatch):
     sequential = _run(fixtures_dir)
     assert batched == sequential
     assert chunked == sequential
+
+
+def test_native_hsp_scan_matches_numpy(fixtures_dir, monkeypatch):
+    """The threaded C++ HSP scan (native/hspscan.cpp) must reproduce the
+    numpy _scan_windows + _max_segments blocks exactly, including block
+    emission order (it feeds a stable sort downstream)."""
+    native = _run(fixtures_dir)
+    monkeypatch.setenv("GAT_HSP_NATIVE", "0")
+    numpy_out = _run(fixtures_dir)
+    assert native == numpy_out
