@@ -21,7 +21,8 @@ _SRCS = [os.path.join(_DIR, "chaincodec.cpp"),
          os.path.join(_DIR, "netwrite.cpp"),
          os.path.join(_DIR, "netscan.cpp"),
          os.path.join(_DIR, "breakloop.cpp"),
-         os.path.join(_DIR, "hspscan.cpp")]
+         os.path.join(_DIR, "hspscan.cpp"),
+         os.path.join(_DIR, "bandext.cpp")]
 
 _lib = None
 _tried = False
@@ -227,6 +228,30 @@ def get_lib():
     ]
     lib.gat_hsp_free.restype = None
     lib.gat_hsp_free.argtypes = [ctypes.POINTER(GatHspBlocks)]
+
+    class GatBandResults(ctypes.Structure):
+        _fields_ = [
+            ("n", ctypes.c_int64),
+            ("ok", ctypes.POINTER(ctypes.c_int32)),
+            ("a_best", ctypes.POINTER(ctypes.c_int64)),
+            ("b_best", ctypes.POINTER(ctypes.c_int64)),
+            ("sym_off", ctypes.POINTER(ctypes.c_int64)),
+            ("sym_a", ctypes.POINTER(ctypes.c_uint8)),
+            ("sym_b", ctypes.POINTER(ctypes.c_uint8)),
+            ("error", ctypes.c_char * 256),
+        ]
+
+    lib.GatBandResults = GatBandResults
+    lib.gat_band_ext_batch.restype = ctypes.POINTER(GatBandResults)
+    lib.gat_band_ext_batch.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.gat_band_ext_free.restype = None
+    lib.gat_band_ext_free.argtypes = [ctypes.POINTER(GatBandResults)]
 
     lib.gat_twobit_decode.restype = None
     lib.gat_twobit_decode.argtypes = [

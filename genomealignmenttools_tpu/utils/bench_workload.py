@@ -312,3 +312,78 @@ def build_cleaner_workload(out_dir: str, n_scenarios: int = 2000,
     with open(meta_path, "w") as f:
         f.write(f"{key}\n")
     return dict(paths, n_scenarios=n_scenarios, n_bulk=n_bulk)
+
+
+def build_repeatfiller_workload(out_dir: str, n_gaps: int = 3000,
+                                seed: int = 13) -> dict:
+    """Gap-filling workload: one long chain whose every gap hides a
+    planted diverged homolog with indels (the content RepeatFiller's
+    lastz|axtChain pipeline exists to recover,
+    /root/reference/src/RepeatFiller.py:445-468).  Each gap yields real
+    HSPs AND banded-DP extension problems, so host-vs-device gap
+    throughput exercises the full seed->scan->band->chain path.
+    Deterministic; cached on disk."""
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "RF_META.txt")
+    paths = {
+        "chain": os.path.join(out_dir, "rf.chain"),
+        "t2bit": os.path.join(out_dir, "rt.2bit"),
+        "q2bit": os.path.join(out_dir, "rq.2bit"),
+    }
+    key = f"{n_gaps},{seed},v1"
+    if os.path.exists(meta_path) and \
+            open(meta_path).read().split("\n")[0] == key:
+        return dict(paths, n_gaps=n_gaps)
+
+    from ..formats.chain import Chain, write_chains
+    from ..formats.twobit import write_twobit
+
+    rng = np.random.default_rng(seed)
+    anchor, gap_t, gap_q = 500, 2000, 2000
+    span = anchor + gap_t
+    t_size = q_size = n_gaps * span + anchor + 20_000
+    t_seq = BASES[np.frombuffer(rng.bytes(t_size), np.uint8) & 3]
+    q_seq = BASES[np.frombuffer(rng.bytes(q_size), np.uint8) & 3].copy()
+
+    def plant(tp, qp, length, identity):
+        frag = t_seq[tp:tp + length].copy()
+        mut = rng.random(length) > identity
+        frag[mut] = BASES[rng.integers(0, 4, int(mut.sum()))]
+        q_seq[qp:qp + length] = frag
+
+    blocks = []
+    tp = qp = 1000
+    for i in range(n_gaps):
+        plant(tp, qp, anchor, 0.97)
+        blocks.append((tp, tp + anchor, qp, qp + anchor))
+        tp += anchor
+        qp += anchor
+        # homology inside the gap: a strong 150bp anchor (above the lastz
+        # K=1500 HSP threshold) + 8 short diverged pieces split by 1-3bp
+        # indels, recoverable only through the banded gapped extension
+        ht, hq = tp + 400, qp + 400
+        plant(ht, hq, 150, 0.95)
+        ht += 150
+        hq += 150
+        for j in range(8):
+            ht += 1 + (i + j) % 3
+            plant(ht, hq, 60, 0.92)
+            ht += 60
+            hq += 60
+        tp += gap_t
+        qp += gap_q
+    plant(tp, qp, anchor, 0.97)
+    blocks.append((tp, tp + anchor, qp, qp + anchor))
+
+    b = np.array(blocks, np.int64)
+    chain = Chain(score=10_000_000, t_name="chrT", t_size=t_size,
+                  t_start=int(b[0, 0]), t_end=int(b[-1, 1]),
+                  q_name="chrQ", q_size=q_size, q_strand="+",
+                  q_start=int(b[0, 2]), q_end=int(b[-1, 3]),
+                  id=1, blocks=b)
+    write_twobit(paths["t2bit"], [("chrT", t_seq.tobytes())])
+    write_twobit(paths["q2bit"], [("chrQ", q_seq.tobytes())])
+    write_chains([chain], paths["chain"])
+    with open(meta_path, "w") as f:
+        f.write(f"{key}\n")
+    return dict(paths, n_gaps=n_gaps)

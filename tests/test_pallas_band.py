@@ -63,3 +63,22 @@ def test_pallas_band_host_fallback_identical():
         del os.environ["GAT_BAND"]
     for i, (a, b, d) in enumerate(probs):
         assert got[i] == band_ext(False, cm, 400, 30, 10, a, b, d)
+
+
+@pytest.mark.parametrize("global_mode", [False, True])
+@pytest.mark.parametrize("max_insert", [7, 100])
+def test_native_band_matches_band_ext(global_mode, max_insert):
+    """The threaded C++ batch (native/bandext.cpp) must equal the numpy
+    oracle tuple-for-tuple (scores, tie parents, traceback syms), both
+    modes, across homologous/unrelated/empty problems."""
+    from genomealignmenttools_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    cm = score_scheme_default().char_matrix()
+    probs = _problems(11, n=30) + [(b"", b"ACGT", 1), (b"ACGT", b"", -1)]
+    batch = BandExtBatch(global_mode, cm, 400, 30, max_insert, a_max=256)
+    got = batch._run_native(probs)
+    assert got is not None
+    for i, (a, b, d) in enumerate(probs):
+        want = band_ext(global_mode, cm, 400, 30, max_insert, a, b, d)
+        assert got[i] == want, (global_mode, max_insert, i)
