@@ -102,12 +102,22 @@ def _have_ref():
             and os.path.exists(os.path.join(KENT_BIN, "chainSort")))
 
 
-def _device_run(snippet: str, need_s: float, mode: str = "pallas"):
+def _boot_id():
+    try:
+        return open("/proc/sys/kernel/random/boot_id").read().strip()
+    except OSError:
+        return None
+
+
+def _device_run(snippet: str, need_s: float, mode: str = "pallas",
+                env_extra: dict | None = None, gate_device: bool = True):
     """Run a device-backend measurement in a subprocess with a hard
     timeout bounded by the remaining global budget.  The snippet must
     print a float (seconds) or a json dict as its last line; returns
-    None on any failure, timeout, or insufficient budget."""
-    if os.environ.get("GAT_BENCH_DEVICE", "1") == "0":
+    None on any failure, timeout, or insufficient budget.
+    gate_device=False for host-side subprocess measurements (exempt from
+    the GAT_BENCH_DEVICE=0 kill switch)."""
+    if gate_device and os.environ.get("GAT_BENCH_DEVICE", "1") == "0":
         return None
     timeout_s = min(600.0, remaining() - MARGIN_S - 3.0)
     if timeout_s < need_s:
@@ -115,6 +125,8 @@ def _device_run(snippet: str, need_s: float, mode: str = "pallas"):
     env = dict(os.environ)
     env["GAT_RESCORE"] = mode
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+    if env_extra:
+        env.update(env_extra)
     try:
         p = subprocess.Popen([sys.executable, "-c", snippet], env=env,
                              stdout=subprocess.PIPE,
@@ -155,14 +167,26 @@ def bench_cleaner_host(m, d):
     c_bed = os.path.join(d, "c_out.bed")
     c_time_path = os.path.join(d, "C_TIME.json")
 
-    c_total = None
+    c_total = c_cpu = None
+    c_source = None
+    cache = None
     if os.path.exists(c_time_path):
-        c_total = json.load(open(c_time_path))["c_total_s"]
+        try:
+            cache = json.load(open(c_time_path))
+        except ValueError:
+            cache = None
+    if cache and cache.get("boot_id") == _boot_id():
+        # same boot = same machine + page-cache regime: reuse
+        c_total, c_cpu = cache["c_total_s"], cache.get("c_cpu_s")
+        c_source = "cached(same boot)"
     elif _have_ref() and remaining() > 90:
         env = dict(os.environ)
         env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
 
         def run_c():
+            """-> (wall_s, cpu_s): cpu via the children fields of
+            os.times() (the C binaries are the only children here)."""
+            tc0 = os.times()
             t0 = time.time()
             pre_net = os.path.join(d, "c_pre.net")
             with open(pre_net, "w") as f:
@@ -182,12 +206,22 @@ def bench_cleaner_host(m, d):
                  "-tSizes=" + m["t_sizes"], "-qSizes=" + m["q_sizes"],
                  "-linearGap=loose"],
                 env=env, check=True, capture_output=True)
-            return time.time() - t0
+            tc1 = os.times()
+            return (time.time() - t0,
+                    (tc1.children_user - tc0.children_user)
+                    + (tc1.children_system - tc0.children_system))
 
-        c_total = run_c()
+        c_total, c_cpu = run_c()
         if remaining() > c_total + 45:
-            c_total = min(c_total, run_c())  # best-of-2 (page-cache warm)
-        json.dump({"c_total_s": c_total}, open(c_time_path, "w"))
+            w2, c2 = run_c()  # best-of-2 (page-cache warm)
+            if w2 < c_total:
+                c_total, c_cpu = w2, c2
+        c_source = "live"
+        json.dump({"c_total_s": c_total, "c_cpu_s": c_cpu,
+                   "boot_id": _boot_id()}, open(c_time_path, "w"))
+    elif cache:
+        c_total, c_cpu = cache["c_total_s"], cache.get("c_cpu_s")
+        c_source = "cached(STALE boot - different machine possible)"
 
     set_verbosity(0)
     out_chain = os.path.join(d, "gat_out.chain")
@@ -207,21 +241,39 @@ def bench_cleaner_host(m, d):
     cpu_s_per_run = ((t_cpu1.user - t_cpu0.user)
                      + (t_cpu1.system - t_cpu0.system)) / 3
 
+    # per-phase breakdown of one warm run (where do the milliseconds go)
+    from genomealignmenttools_tpu.utils import profiling
+    profiling.phase_acc_start()
+    run_once()
+    phases = {k: round(v, 3) for k, v in profiling.phase_acc_stop().items()}
+
     # single-thread run: scaling evidence for the >20x-on-one-v5e-host
     # north star (this sandbox has 2 cores; the C reference is single-
     # threaded by design, so per-core efficiency + thread scaling is the
-    # honest basis for the many-core projection)
+    # honest basis for the many-core projection).  Run in a SUBPROCESS:
+    # gat_thread_count() caches GAT_THREADS in a function-local static,
+    # so an in-process flip after the warm runs would silently keep the
+    # native stages multithreaded.
     warm_1t = None
-    if remaining() > 30:
-        saved = os.environ.get("GAT_THREADS")
-        os.environ["GAT_THREADS"] = "1"
-        try:
-            warm_1t = min(run_once(), run_once())
-        finally:
-            if saved is None:
-                del os.environ["GAT_THREADS"]
-            else:
-                os.environ["GAT_THREADS"] = saved
+    if remaining() > 40:
+        r = _device_run(f"""
+import time
+from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
+from genomealignmenttools_tpu.utils.verbose import set_verbosity
+set_verbosity(0)
+args = ({m["chain"]!r}, {m["t2bit"]!r}, {m["q2bit"]!r},
+        {out_chain + ".1t"!r}, {out_bed + ".1t"!r})
+kw = dict(t_sizes={m["t_sizes"]!r}, q_sizes={m["q_sizes"]!r},
+          linear_gap="loose")
+clean_chains(*args, **kw)
+best = 1e9
+for _ in range(2):
+    t0 = time.time(); clean_chains(*args, **kw)
+    best = min(best, time.time() - t0)
+print(best)
+""", need_s=25.0, mode="hostnative", env_extra={"GAT_THREADS": "1"},
+            gate_device=False)
+        warm_1t = r if isinstance(r, float) else None
 
     parity = None
     if os.path.exists(c_chain):
@@ -229,8 +281,11 @@ def bench_cleaner_host(m, d):
                   and open(out_bed).read() == open(c_bed).read())
 
     return {"c_total_s": round(c_total, 2) if c_total else None,
+            "c_cpu_s": round(c_cpu, 2) if c_cpu else None,
+            "c_time_source": c_source,
             "cold_s": round(cold, 2),
             "warm_s": round(warm_host, 2),
+            "warm_phase_s": phases,
             "warm_1thread_s": round(warm_1t, 2) if warm_1t else None,
             "cpu_s_per_warm_run": round(cpu_s_per_run, 2),
             "warm_device_s": None,
@@ -246,8 +301,14 @@ def bench_chainnet_rescore_host(m, d):
     c_q = os.path.join(d, "c_rescore.q.net")
     c_time_path = os.path.join(d, "C_NET_TIME.json")
     c_total = None
+    cache = None
     if os.path.exists(c_time_path):
-        c_total = json.load(open(c_time_path))["c_total_s"]
+        try:
+            cache = json.load(open(c_time_path))
+        except ValueError:
+            cache = None
+    if cache and cache.get("boot_id") == _boot_id():
+        c_total = cache["c_total_s"]
     elif _have_ref() and remaining() > 45:
         env = dict(os.environ)
         env["PATH"] = f"{REF_BIN}:{KENT_BIN}:" + env["PATH"]
@@ -264,7 +325,10 @@ def bench_chainnet_rescore_host(m, d):
         c_total = run_c()
         if remaining() > c_total + 30:
             c_total = min(c_total, run_c())
-        json.dump({"c_total_s": c_total}, open(c_time_path, "w"))
+        json.dump({"c_total_s": c_total, "boot_id": _boot_id()},
+                  open(c_time_path, "w"))
+    elif cache:
+        c_total = cache["c_total_s"]
 
     g_t = os.path.join(d, "gat_rescore.t.net")
     g_q = os.path.join(d, "gat_rescore.q.net")
@@ -308,6 +372,65 @@ def bench_scorechain_host(work_dir):
     return meta, {"ali_mb": ali_mb, "cold_e2e_s": round(cold_s, 2),
                   "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
                   "cold_e2e_hostnative_s": round(cold_s, 2)}
+
+
+def bench_repeatfiller_host(work_dir, n_time=600):
+    """Gap-filling engines: RepeatFiller's in-process lastz|axtChain core
+    over the planted workload (every gap hides a diverged indel homolog;
+    the reference spawns one lastz process per gap sequentially,
+    /root/reference/src/RepeatFiller.py:540-560).  Host = native HSP scan
+    + native bandExt batch; the device probe later runs the same jobs
+    through the batched Pallas band kernel and byte-compares."""
+    import hashlib
+
+    from genomealignmenttools_tpu.device.genome import open_genome
+    from genomealignmenttools_tpu.engines.repeat_filler import (
+        _run_gap_jobs, harvest_gap_jobs)
+    from genomealignmenttools_tpu.formats.gapcalc import gap_calc_from_file
+    from genomealignmenttools_tpu.formats.scorematrix import (
+        score_scheme_default)
+    from genomealignmenttools_tpu.ops.seed_extend import GapAligner
+    from genomealignmenttools_tpu.utils.bench_workload import (
+        build_repeatfiller_workload)
+
+    d = os.path.join(work_dir, "repeatfiller")
+    m = build_repeatfiller_workload(d)
+    with open(m["chain"]) as f:
+        lines = [ln + "\n" for ln in f.read().split("\n")]
+    jobs = harvest_gap_jobs(lines, 0, 0, 0, 10, 10, 100000, 100000)[:n_time]
+    scheme = score_scheme_default()
+    gc = gap_calc_from_file("loose")
+    tg, qg = open_genome(m["t2bit"]), open_genome(m["q2bit"])
+    aligner = GapAligner(scheme.lut, seed_len=6, hsp_threshold=1500,
+                         gapped_threshold=2000, gap_open=scheme.gap_open,
+                         gap_extend=scheme.gap_extend,
+                         char_matrix=scheme.char_matrix())
+    saved = os.environ.get("GAT_BAND")
+    os.environ["GAT_BAND"] = "host"  # this process sees the TPU; the
+    # host number must stay on the native band batch
+    try:
+        t0 = time.time()
+        h = hashlib.md5()
+        filled = 0
+        for job, minis in _run_gap_jobs(jobs, tg, qg, aligner, scheme, gc):
+            if minis:
+                filled += 1
+                h.update(minis[0].to_text().encode())
+        host_s = time.time() - t0
+    finally:
+        if saved is None:
+            del os.environ["GAT_BAND"]
+        else:
+            os.environ["GAT_BAND"] = saved
+    gap_bases = sum(j.t_gap_end - j.t_block_end for j in jobs)
+    return m, {"n_gaps": len(jobs), "gap_mb": round(gap_bases / 1e6, 2),
+               "filled": filled,
+               "host_s": round(host_s, 2),
+               "host_gaps_per_s": round(len(jobs) / host_s, 1),
+               "host_mb_gap_per_s": round(gap_bases / 1e6 / host_s, 3),
+               "checksum": h.hexdigest(),
+               "device_s": None, "device_gaps_per_s": None,
+               "device_matches_host": None}
 
 
 def bench_resident_hostnative(meta):
@@ -369,8 +492,9 @@ def _timed(fn):
 # sound on any runtime (pipelined same-input bursts measure 15x ABOVE
 # the HBM roofline through the axon relay: the runtime memoizes pure
 # executions or fast-acks block_until_ready, so that protocol is
-# unusable).  Sustained per-pass = (T(11 passes) - T(1 pass)) / 10: the
-# fetch and RTT cancel, leaving pure serialized kernel time.
+# unusable).  Sustained per-pass = (T(N passes) - T(1 pass)) / (N - 1):
+# the fetch and RTT cancel, leaving pure serialized kernel time.
+NCHAIN = 21
 import jax
 burst_s = None
 hbm_bytes = None
@@ -391,8 +515,8 @@ for _ in range(2):
     assert np.array_equal(out, out0)          # determinism check
     times.append(dt)
 t1 = min(times)
-t21, _ = _timed(lambda: pcs.score_chained(jobs, nblocks, 21))
-burst_s = max((t21 - t1) / 20, 1e-9)
+tn, _ = _timed(lambda: pcs.score_chained(jobs, nblocks, NCHAIN))
+burst_s = max((tn - t1) / (NCHAIN - 1), 1e-9)
 # link physics: dispatch round trip + h2d bandwidth, so the roofline
 # numbers are attributable (tunnel floor vs kernel floor)
 import jax, jax.numpy as jnp, numpy as np
@@ -438,6 +562,25 @@ def main():
     RESULT["value"] = cleaner["warm_s"]
     RESULT["vs_baseline"] = (round(c_total / cleaner["warm_s"], 2)
                              if c_total else None)
+    # machine-independent framing for the headline: the C baseline's wall
+    # clock varies ~3.4x across sandboxes (same binary + workload), so the
+    # judgeable per-core figure is C CPU-s vs our CPU-s per warm run,
+    # both measured on THIS box in THIS run
+    c_cpu = cleaner.get("c_cpu_s")
+    our_cpu = cleaner.get("cpu_s_per_warm_run")
+    RESULT["extra"]["normalized"] = {
+        "c_wall_s": c_total,
+        "c_cpu_s": c_cpu,
+        "gat_cpu_s_per_warm_run": our_cpu,
+        "ratio_wall": RESULT["vs_baseline"],
+        "ratio_cpu_per_core": (round(c_cpu / our_cpu, 2)
+                               if c_cpu and our_cpu else None),
+        "c_band_s": base.get("c_chaincleaner_band_s"),
+        "note": "c_band_s = min/max C wall observed across sandboxes for "
+                "this exact binary+workload; ratio_cpu_per_core = C CPU-s "
+                "/ our CPU-s per warm run (same box, same run) - the "
+                "per-core basis of the one-v5e-host projection",
+    }
     _section("cleaner_host")
 
     # -------- host: chainNet -rescore --------
@@ -463,36 +606,71 @@ def main():
             (ali_mb / host_resident_s) / base["c_scorechain_mb_s"], 2)
     _section("resident_hostnative")
 
-    # -------- device probes, in descending order of value --------
-    # 1. resident rescore throughput (the device's home turf).  Before
-    # launching, surface the last successful probe (clearly labeled
-    # cached) so even a watchdog-cut run reports the device story; a
-    # live success below replaces it.
-    dev_cache = os.path.join(work_dir, "RESIDENT_PROBE.json")
-    if os.path.exists(dev_cache):
+    # -------- host: gap-filling engines (RepeatFiller core) --------
+    rf = None
+    if remaining() > 45:
+        rf_m, rf = bench_repeatfiller_host(work_dir)
+        RESULT["extra"]["repeatfiller"] = rf
+        _section("repeatfiller_host")
+
+    # -------- device probes --------
+    # Every probe's last success is cached on disk and surfaced up front
+    # (clearly labeled with its age), so a budget-cut run still reports
+    # the full device story; a live success replaces the cached value.
+    # Probes with NO cache yet run first - across bench runs every probe
+    # therefore gets covered even though one run's budget cannot fit all.
+    def _load_cache(name):
+        p = os.path.join(work_dir, name)
         try:
-            c = json.load(open(dev_cache))
-            RESULT["extra"]["rescore_roofline_cached"] = {
-                "note": "last successful device probe on this workload "
-                        "(reported in case the live probe cannot fit "
-                        "this run's budget)",
-                "age_s": round(time.time() - c["ts"], 1),
-                "burst_s": c["dev"].get("burst_s"),
-                "best_s": c["dev"].get("best_s"),
-                "hbm_bytes": c["dev"].get("hbm_bytes"),
-            }
-        except (OSError, ValueError, KeyError):
-            pass
-    dev = _device_run(device_resident_snippet(meta), need_s=60.0,
-                      mode=os.environ.get("GAT_BENCH_RESIDENT_MODE", "pair"))
-    if isinstance(dev, dict):
-        RESULT["extra"].pop("rescore_roofline_cached", None)
+            return json.load(open(p))
+        except (OSError, ValueError):
+            return None
+
+    def _save_cache(name, payload):
         try:
-            json.dump({"ts": time.time(), "dev": dev},
-                      open(dev_cache, "w"))
+            json.dump(dict(payload, ts=time.time()),
+                      open(os.path.join(work_dir, name), "w"))
         except OSError:
             pass
-    if isinstance(dev, dict):
+
+    def _age(c):
+        return f"cached({int(time.time() - c['ts'])}s old)"
+
+    res_cache = _load_cache("RESIDENT_PROBE.json")
+    if res_cache:
+        RESULT["extra"]["rescore_roofline_cached"] = {
+            "note": "last successful device probe on this workload "
+                    "(reported in case the live probe cannot fit "
+                    "this run's budget)",
+            "age_s": round(time.time() - res_cache["ts"], 1),
+            "burst_s": res_cache["dev"].get("burst_s"),
+            "best_s": res_cache["dev"].get("best_s"),
+            "hbm_bytes": res_cache["dev"].get("hbm_bytes"),
+        }
+    clean_cache = _load_cache("CLEANER_DEV_PROBE.json")
+    if clean_cache:
+        cleaner["warm_device_s"] = clean_cache["value"]
+        cleaner["warm_device_source"] = _age(clean_cache)
+    net_cache = _load_cache("NET_DEV_PROBE.json")
+    if net_cache:
+        net_rescore["warm_device_s"] = net_cache["value"]
+        net_rescore["warm_device_source"] = _age(net_cache)
+    rf_cache = _load_cache("RF_DEV_PROBE.json")
+    if rf_cache and rf is not None:
+        rf["device_s"] = rf_cache["value"]
+        rf["device_gaps_per_s"] = round(rf["n_gaps"] / rf_cache["value"], 1)
+        rf["device_matches_host"] = (rf_cache.get("checksum")
+                                     == rf["checksum"])
+        rf["device_source"] = _age(rf_cache)
+
+    def probe_resident():
+        dev = _device_run(device_resident_snippet(meta), need_s=60.0,
+                          mode=os.environ.get("GAT_BENCH_RESIDENT_MODE",
+                                              "pair"))
+        if not isinstance(dev, dict):
+            return
+        RESULT["extra"].pop("rescore_roofline_cached", None)
+        _save_cache("RESIDENT_PROBE.json", {"dev": dev})
         best_s = dev["best_s"]
         RESULT["extra"]["rescore_throughput_mb_s"] = round(
             ali_mb / best_s, 1)
@@ -501,15 +679,15 @@ def main():
             RESULT["extra"]["rescore_vs_c_scorechain"] = round(
                 (ali_mb / best_s) / base["c_scorechain_mb_s"], 2)
         # roofline vs REAL resident HBM traffic (padded pair tiles +
-        # per-chunk combine metadata, not bare aligned bases), both
-        # single-shot (includes the ~22 ms tunnel RTT per sync) and
-        # amortized over a 10-deep pipelined burst (RTT paid once -
-        # the sustained-kernel number)
+        # combine metadata), single-shot (incl. tunnel RTT) and
+        # amortized over the dependency-chained burst
         hbm_bytes = dev.get("hbm_bytes") or meta["aligned_bases"]
         burst_s = dev.get("burst_s")
         RESULT["extra"]["rescore_roofline"] = {
             "bytes_hbm_per_run": hbm_bytes,
             "aligned_bytes_per_run": meta["aligned_bases"],
+            "bytes_per_aligned_base": round(
+                hbm_bytes / meta["aligned_bases"], 3),
             "singleshot_gbs": round(hbm_bytes / best_s / 1e9, 2),
             "sustained_gbs": (round(hbm_bytes / burst_s / 1e9, 2)
                               if burst_s else None),
@@ -525,10 +703,10 @@ def main():
         }
         _section("resident_device")
 
-    # 2. device cleaner warm (informational: auto picks host for one-shot)
-    out_chain = os.path.join(d, "gat_out.chain")
-    out_bed = os.path.join(d, "gat_out.bed")
-    warm_dev = _device_run(f"""
+    def probe_cleaner():
+        out_chain = os.path.join(d, "gat_out.chain")
+        out_bed = os.path.join(d, "gat_out.bed")
+        warm_dev = _device_run(f"""
 import time
 from genomealignmenttools_tpu.engines.chain_cleaner import clean_chains
 from genomealignmenttools_tpu.utils.verbose import set_verbosity
@@ -544,19 +722,23 @@ for _ in range(2):
     best = min(best, time.time() - t0)
 print(best)
 """, need_s=90.0)
-    if warm_dev is not None:
+        if warm_dev is None:
+            return
         cleaner["warm_device_s"] = round(warm_dev, 2)
+        cleaner.pop("warm_device_source", None)
+        _save_cache("CLEANER_DEV_PROBE.json", {"value": round(warm_dev, 2)})
         if warm_dev < cleaner["warm_s"]:
             cleaner["warm_s"] = round(warm_dev, 2)
             RESULT["value"] = cleaner["warm_s"]
             if c_total:
-                RESULT["vs_baseline"] = round(c_total / cleaner["warm_s"], 2)
+                RESULT["vs_baseline"] = round(c_total / cleaner["warm_s"],
+                                              2)
         _section("cleaner_device")
 
-    # 3. device chainNet -rescore warm (informational)
-    g_t = os.path.join(d, "gat_rescore.t.net")
-    g_q = os.path.join(d, "gat_rescore.q.net")
-    net_dev = _device_run(f"""
+    def probe_net():
+        g_t = os.path.join(d, "gat_rescore.t.net")
+        g_q = os.path.join(d, "gat_rescore.q.net")
+        net_dev = _device_run(f"""
 import time
 from genomealignmenttools_tpu.engines.chain_net import chain_net
 def once():
@@ -570,11 +752,72 @@ def once():
 once()
 print(min(once(), once()))
 """, need_s=90.0)
-    if net_dev is not None:
+        if net_dev is None:
+            return
         net_rescore["warm_device_s"] = round(net_dev, 2)
+        net_rescore.pop("warm_device_source", None)
+        _save_cache("NET_DEV_PROBE.json", {"value": round(net_dev, 2)})
         if net_dev < net_rescore["warm_s"]:
             net_rescore["warm_s"] = round(net_dev, 2)
         _section("chainnet_device")
+
+    def probe_rf():
+        if rf is None:
+            return
+        # same jobs through the batched Pallas band kernel; the remote
+        # Mosaic compile is slow through the tunnel, so the persistent
+        # jax compilation cache dir makes repeat probes affordable
+        r = _device_run(f"""
+import hashlib, json, time
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  {os.path.join(work_dir, "jaxcache")!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from genomealignmenttools_tpu.device.genome import open_genome
+from genomealignmenttools_tpu.engines.repeat_filler import (
+    _run_gap_jobs, harvest_gap_jobs)
+from genomealignmenttools_tpu.formats.gapcalc import gap_calc_from_file
+from genomealignmenttools_tpu.formats.scorematrix import (
+    score_scheme_default)
+from genomealignmenttools_tpu.ops.seed_extend import GapAligner
+with open({rf_m["chain"]!r}) as f:
+    lines = [ln + "\\n" for ln in f.read().split("\\n")]
+jobs = harvest_gap_jobs(lines, 0, 0, 0, 10, 10, 100000,
+                        100000)[:{rf["n_gaps"]}]
+scheme = score_scheme_default()
+gc = gap_calc_from_file("loose")
+tg, qg = open_genome({rf_m["t2bit"]!r}), open_genome({rf_m["q2bit"]!r})
+al = GapAligner(scheme.lut, seed_len=6, hsp_threshold=1500,
+                gapped_threshold=2000, gap_open=scheme.gap_open,
+                gap_extend=scheme.gap_extend,
+                char_matrix=scheme.char_matrix())
+# warm the kernel on the first chunk, then time the full run
+for job, minis in _run_gap_jobs(jobs[:8], tg, qg, al, scheme, gc):
+    pass
+t0 = time.time()
+h = hashlib.md5()
+for job, minis in _run_gap_jobs(jobs, tg, qg, al, scheme, gc):
+    if minis:
+        h.update(minis[0].to_text().encode())
+print(json.dumps({{"s": time.time() - t0, "checksum": h.hexdigest()}}))
+""", need_s=float(os.environ.get("GAT_BENCH_RF_NEED_S", "150")))
+        if not isinstance(r, dict):
+            return
+        rf["device_s"] = round(r["s"], 2)
+        rf["device_gaps_per_s"] = round(rf["n_gaps"] / r["s"], 1)
+        rf["device_matches_host"] = r["checksum"] == rf["checksum"]
+        rf.pop("device_source", None)
+        _save_cache("RF_DEV_PROBE.json",
+                    {"value": round(r["s"], 2), "checksum": r["checksum"]})
+        _section("repeatfiller_device")
+
+    plan = [("resident", res_cache, probe_resident),
+            ("cleaner_dev", clean_cache, probe_cleaner),
+            ("net_dev", net_cache, probe_net),
+            ("rf_dev", rf_cache, probe_rf)]
+    # stable sort: uncached probes first, original value-order otherwise
+    for _name, cache, fn in sorted(plan, key=lambda x: x[1] is not None):
+        fn()
 
     _emit("all")
 
