@@ -127,6 +127,53 @@ void gat_pack_pairs_scored(const uint8_t* t_codes, const uint8_t* q_codes,
     for (auto& th : threads) th.join();
 }
 
+// 4-bit score-INDEX tile packer: most schemes have <= 16 distinct
+// substitution values, so each aligned base is a nibble indexing a
+// 16-entry value table decoded on device - HALF the HBM traffic of the
+// int8 score-byte tiles on a purely memory-bound kernel.  Two bases per
+// byte (even base = low nibble); pad nibble 0 must decode to score 0
+// (callers put 0 first in the value table).  idx_lut is 25 uint8
+// indices (q*5 + t).
+void gat_pack_pairs_scored4(const uint8_t* t_codes, const uint8_t* q_codes,
+                            const int64_t* c_toff, const int64_t* c_qoff,
+                            const int64_t* c_len, int64_t n_chunks,
+                            int64_t chunk, const uint8_t* idx_lut,
+                            uint8_t* out, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    int64_t half = chunk / 2;
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t len = c_len[i];
+            uint8_t* row = out + i * half;
+            const uint8_t* tp = t_codes + c_toff[i];
+            const uint8_t* qp = q_codes + c_qoff[i];
+            int64_t pairs = len / 2;
+            for (int64_t j = 0; j < pairs; ++j) {
+                uint8_t lo_n = idx_lut[qp[2 * j] * 5 + tp[2 * j]];
+                uint8_t hi_n = idx_lut[qp[2 * j + 1] * 5 + tp[2 * j + 1]];
+                row[j] = (uint8_t)(lo_n | (hi_n << 4));
+            }
+            if (len & 1)
+                row[pairs] = idx_lut[qp[len - 1] * 5 + tp[len - 1]];
+            int64_t used = (len + 1) / 2;
+            if (used < half) std::memset(row + used, 0, half - used);
+        }
+    };
+    if (n_threads == 1 || n_chunks < 4096) {
+        worker(0, n_chunks);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n_chunks + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per;
+        int64_t hi = lo + per < n_chunks ? lo + per : n_chunks;
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // Host scoring of combined tiles: per-row sum of lut25[c8] (the same
 // evaluation the device kernel performs), threaded.  Lets one-shot
 // workloads score at memory speed without touching the accelerator

@@ -49,7 +49,11 @@ def _n_threads(cap: int = 16) -> int:
     return min(os.cpu_count() or 1, cap)
 
 
-CHUNK = 128          # bases per packed row (one lane vreg; |chunk sum| < 2^15)
+# bases per packed row/chunk (default one lane vreg; |chunk sum| < 2^15).
+# GAT_PAIR_CHUNK tunes the pad-waste / metadata-volume tradeoff: short
+# blocks waste up to chunk-1 pad bytes each, but every chunk costs fixed
+# combine-metadata traffic.
+CHUNK = int(os.environ.get("GAT_PAIR_CHUNK", "128"))
 ROW_PAD = 1024       # minimum row-count bucket
 
 
@@ -98,17 +102,89 @@ def _pair_scores_kernel(c8, packed_lut):
 # no div/mod-5 decode, no packed-LUT shifts.  Measured ~3x faster than
 # the combined-code kernel on v5e (4.3 -> 1.4 ms per 403 MB chunk-sum
 # pass); bit-identical (same integer per base, same summation).
+#
+# The row reduce itself: a VPU jnp.sum converts every byte to a 32-bit
+# lane before adding (~2 VPU ops/byte - the measured 343 GB/s ceiling is
+# COMPUTE, not HBM).  GAT_PAIR_SUM=dot instead contracts against an int8
+# ones vector on the MXU (int32 accumulation - exact), freeing the VPU;
+# sums are integer-exact either way.
+
+
+def _row_sums_i32(s8):
+    """(M, C) int8 -> (M,) int32 row sums (MXU dot or VPU reduce)."""
+    if os.environ.get("GAT_PAIR_SUM", "auto") == "dot":
+        ones = jnp.ones((s8.shape[1],), jnp.int8)
+        return jax.lax.dot_general(
+            s8, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    return jnp.sum(s8, axis=1, dtype=jnp.int32)
+
 
 @jax.jit
 def _pair_scores_kernel_scored(s8):
     """(M, CHUNK) int8 score tiles -> (M,) int16 chunk scores."""
-    return jnp.sum(s8, axis=1, dtype=jnp.int16)
+    return _row_sums_i32(s8).astype(jnp.int16)
 
 
 @jax.jit
 def _chunk_sums_i32_scored(s8):
     """(M, CHUNK) int8 score tiles -> (M,) int32 chunk scores."""
-    return jnp.sum(s8, axis=1, dtype=jnp.int32)
+    return _row_sums_i32(s8)
+
+
+# 4-bit score-index tiles: schemes with <= 16 distinct substitution
+# values (all blastz defaults have ~7) store a nibble per aligned base -
+# HALF the HBM bytes of the int8 score tiles.  The 16 int8 values ride
+# in four packed int32 words (same trick as pack_lut); decode is a 4-way
+# select + shift on the VPU, cheap against an HBM-bound sum.
+
+def _score4_vals(p8, vals_packed):
+    """(M, CHUNK//2) packed nibble tiles -> (M, CHUNK) int32 scores.
+
+    Base order within the chunk is lo-nibbles then hi-nibbles - fine,
+    every consumer only ever SUMS a chunk."""
+    b = p8.astype(jnp.int32)
+    idx = jnp.concatenate([b & 0xF, b >> 4], axis=1)
+    w = jnp.where(idx < 4, vals_packed[0],
+                  jnp.where(idx < 8, vals_packed[1],
+                            jnp.where(idx < 12, vals_packed[2],
+                                      vals_packed[3])))
+    v = jax.lax.shift_right_logical(w, (idx & 3) * 8) & 0xFF
+    return v - ((v & 0x80) << 1)  # sign-extend the byte
+
+
+@jax.jit
+def _pair_scores_kernel_scored4(p8, vals_packed):
+    """(M, CHUNK//2) nibble tiles -> (M,) int16 chunk scores."""
+    return jnp.sum(_score4_vals(p8, vals_packed), axis=1, dtype=jnp.int16)
+
+
+@jax.jit
+def _chunk_sums_i32_scored4(p8, vals_packed):
+    """(M, CHUNK//2) nibble tiles -> (M,) int32 chunk scores."""
+    return jnp.sum(_score4_vals(p8, vals_packed), axis=1, dtype=jnp.int32)
+
+
+def pack_vals16(lut: np.ndarray):
+    """(idx_lut25 uint8, vals_packed (4,) int32) for 4-bit score-index
+    tiles, or None when the scheme has > 16 distinct substitution values.
+    Value 0 gets index 0 so pad nibbles decode to the N/N score."""
+    lut55 = np.asarray(lut)[:5, :5]
+    vals = sorted({int(v) for v in lut55.flatten()} | {0},
+                  key=lambda v: (v != 0, v))
+    if len(vals) > 16 or any(not -128 <= v <= 127 for v in vals):
+        return None
+    vals += [0] * (16 - len(vals))
+    of = {v: i for i, v in enumerate(vals)}
+    idx_lut25 = np.zeros(25, np.uint8)
+    for q in range(5):
+        for t in range(5):
+            idx_lut25[q * 5 + t] = of[int(lut55[q, t])]
+    packed = np.zeros(4, np.int64)
+    for i, v in enumerate(vals):
+        packed[i // 4] |= (v & 0xFF) << ((i % 4) * 8)
+    packed = packed.astype(np.uint32).astype(np.int32)
+    return idx_lut25, packed
 
 
 def chunk_blocks(blocks: np.ndarray, chunk: int = CHUNK):
@@ -202,6 +278,32 @@ def _fill_scored(t_codes, q_codes, c_toff, c_qoff, c_len, s8, m,
 
 
 
+def _fill_scored4(t_codes, q_codes, c_toff, c_qoff, c_len, p8, m,
+                  chunk: int, idx_lut25: np.ndarray):
+    """Fill rows [0, m) of p8 (chunk//2 bytes per row) with packed 4-bit
+    score indices, two aligned bases per byte (pad nibble 0 = score 0)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "gat_pack_pairs_scored4"):
+        import ctypes
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gat_pack_pairs_scored4(
+            t_codes.ctypes.data_as(u8p), q_codes.ctypes.data_as(u8p),
+            c_toff.ctypes.data_as(i64p), c_qoff.ctypes.data_as(i64p),
+            c_len.ctypes.data_as(i64p), m, chunk,
+            idx_lut25.ctypes.data_as(u8p), p8.ctypes.data_as(u8p),
+            _n_threads())
+    else:
+        lane = np.arange(chunk, dtype=np.int64)
+        t_idx = np.minimum(c_toff[:, None] + lane, t_codes.shape[0] - 1)
+        q_idx = np.minimum(c_qoff[:, None] + lane, q_codes.shape[0] - 1)
+        valid = lane < c_len[:, None]
+        combined = (q_codes[q_idx].astype(np.intp) * 5 + t_codes[t_idx])
+        idx = np.where(valid, idx_lut25[combined], np.uint8(0))
+        p8[:m] = idx[:, 0::2] | (idx[:, 1::2] << 4)
+
+
 def pack_pairs(t_codes: np.ndarray, q_codes: np.ndarray,
                blocks: np.ndarray, chunk: int = CHUNK):
     """Dense (M_pad, chunk) uint8 combined q*5+t tiles + chunk->block
@@ -248,16 +350,35 @@ class PairBlockScorer:
                 for t in range(5):
                     lut8[q * 5 + t] = lut55[q, t]
             self.lut8 = lut8
+        # 4-bit score-index tiles (GAT_PAIR_TILES=score4): HALF the HBM
+        # bytes per aligned base for schemes with <= 16 distinct values.
+        # Opt-in, not the default: the nibble decode (4-way select +
+        # variable shift per base) turns the measured memory-bound byte
+        # sum (2.26 ms/pass, 343 GB/s) into a VPU-bound 8.7 ms/pass on
+        # v5e - the byte-sum mode is faster despite 2x the traffic.
+        self.score4_tiles = False
+        if (self.score_tiles
+                and os.environ.get("GAT_PAIR_TILES") == "score4"):
+            v16 = pack_vals16(lut)
+            if v16 is not None:
+                self.idx_lut25, vals_packed = v16
+                self.vals_packed = jnp.asarray(vals_packed)
+                self.score4_tiles = True
+        if os.environ.get("GAT_PAIR_TILES") == "code":
+            self.score_tiles = False
         self.t_genome = t_genome
         self.q_genome = q_genome
         self.tile_sharding = tile_sharding  # NamedSharding for multi-chip
         self._pack_cache: dict[tuple, tuple] = {}
 
-    def _pack_combined(self, jobs, m_pad_of):
+    def _pack_combined(self, jobs, m_pad_of, scored4=None):
         """Shared pack core: chunk all jobs' blocks, fill tiles padded to
-        m_pad_of(m) rows - int8 score bytes (pad 0) when score_tiles,
-        combined q*5+t codes (pad 24 = N/N) otherwise."""
-        scored = self.score_tiles
+        m_pad_of(m) rows - packed 4-bit score indices (chunk/2 bytes per
+        row, pad nibble 0) when score4_tiles, int8 score bytes (pad 0)
+        when score_tiles, combined q*5+t codes (pad 24 = N/N) otherwise."""
+        if scored4 is None:
+            scored4 = self.score4_tiles
+        scored = self.score_tiles and not scored4
         parts = []
         c_blocks = []
         block_base = 0
@@ -271,12 +392,21 @@ class PairBlockScorer:
         m = sum(p[2].shape[0] for p in parts)
         m_pad = m_pad_of(m)
         from ..utils.bigmem import big_empty
-        c8 = big_empty((m_pad, CHUNK), np.int8 if scored else np.uint8)
-        c8[m:] = 0 if scored else 24
+        if scored4:
+            c8 = big_empty((m_pad, CHUNK // 2), np.uint8)
+            c8[m:] = 0
+        else:
+            c8 = big_empty((m_pad, CHUNK), np.int8 if scored else np.uint8)
+            c8[m:] = 0 if scored else 24
         row = 0
         for (tc, qc, c_toff, c_qoff, c_len) in parts:
             k = c_toff.shape[0]
-            if scored:
+            if scored4:
+                _fill_scored4(np.ascontiguousarray(tc),
+                              np.ascontiguousarray(qc),
+                              c_toff, c_qoff, c_len, c8[row:row + k], k,
+                              CHUNK, self.idx_lut25)
+            elif scored:
                 _fill_scored(np.ascontiguousarray(tc),
                              np.ascontiguousarray(qc),
                              c_toff, c_qoff, c_len, c8[row:row + k], k,
@@ -393,7 +523,10 @@ class PairBlockScorer:
         dev_tiles, c_block, m, n_blocks = self._pack_multi_tiles(jobs)
         from .rescore import PERF
         PERF["dispatches"] += len(dev_tiles)
-        if self.score_tiles:
+        if self.score4_tiles:
+            parts = [_pair_scores_kernel_scored4(t, self.vals_packed)
+                     for t in dev_tiles]
+        elif self.score_tiles:
             parts = [_pair_scores_kernel_scored(t) for t in dev_tiles]
         else:
             parts = [_pair_scores_kernel(t, self.packed_lut)
@@ -588,11 +721,15 @@ def _stage_finish(wmax, c, chain_of64, end_idx):
 
 
 def _pair_chain_scores(c8, packed_lut, bias, first, sample,
-                       chain_of, start_idx, end_idx, scored=False):
-    """-> (n_chains, 2) int64 [global, local]; one host<->device sync."""
+                       chain_of, start_idx, end_idx, scored=False,
+                       scored4=False):
+    """-> (n_chains, 2) int64 [global, local]; one host<->device sync.
+
+    scored4: c8 is nibble tiles and packed_lut carries vals_packed."""
     n = c8.shape[0]
     with jax.enable_x64(True):
-        s = (_chunk_sums_i32_scored(c8) if scored
+        s = (_chunk_sums_i32_scored4(c8, packed_lut) if scored4
+             else _chunk_sums_i32_scored(c8) if scored
              else _chunk_sums_i32(c8, packed_lut))
         g = _stage_cumsum(_stage_delta(s, bias), n)
         chain_of64 = chain_of.astype(jnp.int64)
@@ -605,23 +742,26 @@ def _pair_chain_scores(c8, packed_lut, bias, first, sample,
         return _stage_finish(wmax, c, chain_of64, end_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "scored"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "scored", "scored4"))
 def _fused_pass(c8, packed_lut, bias, flags, end_idx, interpret=False,
-                scored=False):
+                scored=False, scored4=False):
     """Chunk sums -> fused pallas segmented combine -> per-chain finish,
     traced as ONE computation: a full rescore pass is a single dispatch
     (the tunneled deployment pays a fixed per-dispatch cost, so pass
     latency is dispatch-bound once the kernels run at HBM speed)."""
     from .pallas_combine import pair_combine_finish, pair_combine_scan
-    s = _chunk_sums_i32_scored(c8) if scored \
-        else _chunk_sums_i32(c8, packed_lut)
+    s = (_score4_vals(c8, packed_lut).sum(axis=1, dtype=jnp.int32)
+         if scored4 else _chunk_sums_i32_scored(c8) if scored
+         else _chunk_sums_i32(c8, packed_lut))
     c, w = pair_combine_scan(s, bias, flags, interpret=interpret)
     return pair_combine_finish(c, w, end_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "scored"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "scored", "scored4"))
 def _fused_pass_chained(c8, packed_lut, bias, flags, end_idx, feedback,
-                        interpret=False, scored=False):
+                        interpret=False, scored=False, scored4=False):
     """_fused_pass with a data dependency on the previous pass's output.
 
     `feedback` is (2,) int32 from the prior pass; the comparison against
@@ -633,7 +773,8 @@ def _fused_pass_chained(c8, packed_lut, bias, flags, end_idx, feedback,
     'throughput' 15x above the HBM roofline, physically impossible)."""
     from .pallas_combine import pair_combine_finish, pair_combine_scan
     tweak = jnp.where(feedback[0] == jnp.int32(-2147483648), 1, 0)
-    s = (_chunk_sums_i32_scored(c8) if scored
+    s = (_score4_vals(c8, packed_lut).sum(axis=1, dtype=jnp.int32)
+         if scored4 else _chunk_sums_i32_scored(c8) if scored
          else _chunk_sums_i32(c8, packed_lut)) + tweak
     c, w = pair_combine_scan(s, bias, flags, interpret=interpret)
     return pair_combine_finish(c, w, end_idx)
@@ -738,14 +879,24 @@ class PairChainScorer:
          end_idx, _ali, flags) = self._meta(jobs, chain_nblocks)
         from .rescore import PERF
         PERF["dispatches"] += 1
+        lut = self._tile_lut()
         if self._use_fused():
             return _fused_pass(
-                dev_c8, self.pair.packed_lut, bias, flags, end_idx,
+                dev_c8, lut, bias, flags, end_idx,
                 interpret=os.environ.get("GAT_PALLAS_INTERPRET") == "1",
-                scored=self.pair.score_tiles)
+                scored=self.pair.score_tiles,
+                scored4=self.pair.score4_tiles)
         return _pair_chain_scores(
-            dev_c8, self.pair.packed_lut, bias, first, sample,
-            chain_of, start_idx, end_idx, scored=self.pair.score_tiles)
+            dev_c8, lut, bias, first, sample,
+            chain_of, start_idx, end_idx, scored=self.pair.score_tiles,
+            scored4=self.pair.score4_tiles)
+
+    def _tile_lut(self):
+        """The LUT companion of the packed tiles: vals_packed for 4-bit
+        score-index tiles, packed_lut otherwise (unused by the int8
+        score-byte kernel but keeps one signature)."""
+        return (self.pair.vals_packed if self.pair.score4_tiles
+                else self.pair.packed_lut)
 
     def score_chained(self, jobs, chain_nblocks: list[int], n: int):
         """Run n dependency-chained rescore passes (each consumes the
@@ -757,13 +908,15 @@ class PairChainScorer:
          end_idx, _ali, flags) = self._meta(jobs, chain_nblocks)
         from .rescore import PERF
         interp = os.environ.get("GAT_PALLAS_INTERPRET") == "1"
+        lut = self._tile_lut()
         if self._use_fused():
             fb = jnp.zeros(2, jnp.int32)
             out = None
             for _ in range(n):
                 out = _fused_pass_chained(
-                    dev_c8, self.pair.packed_lut, bias, flags, end_idx,
-                    fb, interpret=interp, scored=self.pair.score_tiles)
+                    dev_c8, lut, bias, flags, end_idx,
+                    fb, interpret=interp, scored=self.pair.score_tiles,
+                    scored4=self.pair.score4_tiles)
                 fb = out[0]
                 PERF["dispatches"] += 1
             return np.asarray(out)
@@ -771,9 +924,10 @@ class PairChainScorer:
         out = None
         for _ in range(n):
             out = _pair_chain_scores(
-                dev_c8, self.pair.packed_lut, bias0, first, sample,
+                dev_c8, lut, bias0, first, sample,
                 chain_of, start_idx, end_idx,
-                scored=self.pair.score_tiles)
+                scored=self.pair.score_tiles,
+                scored4=self.pair.score4_tiles)
             # data dependency chaining passes for honest timing: compare in
             # int64 against a value outside the reachable score range (an
             # int32 cast would wrap legitimate scores whose low 32 bits

@@ -196,23 +196,37 @@ def test_score_tiles_vs_code_tiles_identical(fixtures_dir):
     lut = np.asarray(scheme.lut)
     assert int(np.abs(lut[:5, :5]).max()) <= 127  # blastz default fits
 
+    import os as _os
+    _os.environ["GAT_PAIR_TILES"] = "score4"
+    try:
+        score4 = PairBlockScorer(lut, t_genome, q_genome)
+    finally:
+        del _os.environ["GAT_PAIR_TILES"]
+    assert score4.score_tiles and score4.score4_tiles
     scored = PairBlockScorer(lut, t_genome, q_genome)
-    assert scored.score_tiles
+    assert scored.score_tiles and not scored.score4_tiles  # default
     plain = PairBlockScorer(lut, t_genome, q_genome)
     plain.score_tiles = False  # force the combined-code mode
 
     jobs = [(c.t_name, c.q_name, c.q_strand, c.blocks) for c in chains[:20]]
+    bs_4 = score4.block_scores_multi(jobs)
     bs_s = scored.block_scores_multi(jobs)
     bs_p = plain.block_scores_multi(jobs)
     assert np.array_equal(bs_s, bs_p)
+    assert np.array_equal(bs_4, bs_p)
 
     nblocks = [c.n_blocks for c in chains[:20]]
+    pcs_4 = PairChainScorer(score4, gcd)
     pcs_s = PairChainScorer(scored, gcd)
     pcs_p = PairChainScorer(plain, gcd)
     assert pcs_s.score(jobs, nblocks) == pcs_p.score(jobs, nblocks)
+    assert pcs_4.score(jobs, nblocks) == pcs_p.score(jobs, nblocks)
+    out_4 = pcs_4.score_chained(jobs, nblocks, 3)
     out_s = pcs_s.score_chained(jobs, nblocks, 3)
     out_p = pcs_p.score_chained(jobs, nblocks, 3)
     assert np.array_equal(np.asarray(out_s, np.int64),
+                          np.asarray(out_p, np.int64))
+    assert np.array_equal(np.asarray(out_4, np.int64),
                           np.asarray(out_p, np.int64))
 
     big = lut.astype(np.int64).copy()
