@@ -38,7 +38,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_rescore import pack_lut
+# NOTE: no module-level pallas import here - pallas_rescore pulls in
+# jax.experimental.pallas (~1.2 s), which must stay off the host-native
+# one-shot path (pack_lut is imported lazily where needed)
 
 def _n_threads(cap: int = 16) -> int:
     """Native worker-thread count; GAT_THREADS=N overrides (1 = the
@@ -338,6 +340,7 @@ class PairBlockScorer:
             self.lut25 = np.zeros(256, np.int32)
             self.lut25[:25] = lut25
         else:
+            from .pallas_rescore import pack_lut
             self.packed_lut = jnp.asarray(pack_lut(lut))
         # int8 score-byte tiles when the matrix fits (all blastz schemes
         # do): the device pass becomes a pure byte-sum, ~3x faster
