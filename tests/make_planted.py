@@ -101,6 +101,31 @@ CASES = [
         "t_softmask": [[6200, 6400]],
     },
     {
+        "name": "inverted_copy_invisible",
+        "seed": 909,
+        "t_len": 15000, "q_len": 15000, "t0": 6200, "q0": 6500,
+        # the q side holds the REVERSE COMPLEMENT of the t segment: a
+        # same-strand aligner must find NOTHING (planted truth = no
+        # blocks).  This matches the reference exactly: RepeatFiller pins
+        # lastz to one strand per gap (--strand=plus/minus with
+        # coordinate flips, RepeatFiller.py:353-364), so an inversion
+        # inside a gap is invisible to the gap filler by design.
+        "layout": "inverted", "inv_len": 300,
+    },
+    {
+        "name": "transposed_pieces",
+        "seed": 1010,
+        "t_len": 18000, "q_len": 18000, "t0": 6000, "q0": 6300,
+        # two homologous pieces whose q order is SWAPPED (a small
+        # translocation inside the gap): the aligner must report BOTH
+        # pieces exactly (each is a real local alignment); the downstream
+        # chainer then keeps only one colinear chain - covered by the
+        # engine-level test.  Diagonals differ by far more than the band
+        # width, so no extension can bridge them.
+        "layout": "transposed", "piece_lens": [260, 220],
+        "subs": [[0, 90], [1, 70]],
+    },
+    {
         "name": "softmask_full_copy",
         "seed": 808,
         "t_len": 15000, "q_len": 15000, "t0": 6300, "q0": 6600,
@@ -137,6 +162,38 @@ def build_case(spec):
     rng = np.random.default_rng(spec["seed"])
     t = rng.integers(0, 4, spec["t_len"]).astype(np.uint8)
     q = rng.integers(0, 4, spec["q_len"]).astype(np.uint8)
+    if spec.get("layout") == "inverted":
+        # q = revcomp(t segment): zero plus-strand homology by
+        # construction (complement code = 3 - code for TCAG... codes here
+        # are 0..3 over "ACGT": comp(A)=T etc. = 3 - c)
+        t0, q0, ln = spec["t0"], spec["q0"], spec["inv_len"]
+        q[q0:q0 + ln] = (3 - t[t0:t0 + ln])[::-1]
+        for arr, p0, p1 in ((t, t0, t0 + ln), (q, q0, q0 + ln)):
+            arr[max(0, p0 - PAD):p0] = 4
+            arr[p1:p1 + PAD] = 4
+        return t, q, np.zeros((0, 4), np.int64)
+    if spec.get("layout") == "transposed":
+        t0, q0 = spec["t0"], spec["q0"]
+        lens = spec["piece_lens"]
+        gap_t, gap_q = 600, 600
+        # t order: A then B; q order: B then A (swapped)
+        tA, tB = t0, t0 + lens[0] + gap_t
+        qB, qA = q0, q0 + lens[1] + gap_q
+        q[qA:qA + lens[0]] = t[tA:tA + lens[0]]
+        q[qB:qB + lens[1]] = t[tB:tB + lens[1]]
+        blocks = [[tA, tA + lens[0], qA, qA + lens[0]],
+                  [tB, tB + lens[1], qB, qB + lens[1]]]
+        for pi, off in spec.get("subs", ()):
+            b = blocks[pi]
+            pos = b[2] + off
+            q[pos] = (q[pos] + 1 + rng.integers(0, 3)) % 4
+        t_end = tB + lens[1]
+        q_end = qA + lens[0]
+        t[max(0, t0 - PAD):t0] = 4
+        t[t_end:t_end + PAD] = 4
+        q[max(0, q0 - PAD):q0] = 4
+        q[q_end:q_end + PAD] = 4
+        return t, q, np.array(blocks, np.int64)
     if "repeat_period" in spec:
         # t-side tandem-repeat sea around the hull: floods the seed stage
         # with spurious k-mer hits (the '[unmask]' regime); q side stays

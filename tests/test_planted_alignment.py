@@ -215,3 +215,97 @@ def test_softmask_full_copy_requires_unmask():
     on_target = [b for b in got4
                  if any(b[0] < pb[1] and b[1] > pb[0] for pb in planted)]
     assert on_target == planted, (on_target, planted)
+
+
+def test_transposed_gap_end_to_end_keeps_colinear_best(tmp_path):
+    """Full RepeatFiller pass over a gap holding the TRANSPOSED pieces:
+    the aligner reports both, but the chainSort-best mini chain is one
+    colinear piece - the splice must contain exactly the higher-scoring
+    planted piece and nothing from the other (construction truth: the
+    reference chains lastz output with axtChain and splices only the
+    best mini, RepeatFiller.py:594-607)."""
+    import io
+
+    from genomealignmenttools_tpu.engines.repeat_filler import repeat_filler
+    from genomealignmenttools_tpu.formats.chain import (Chain, read_chains,
+                                                        write_chains)
+    from genomealignmenttools_tpu.formats.twobit import write_twobit
+    from tests.make_planted import build_case
+
+    case = [c for c in _cases()
+            if c["spec"]["name"] == "transposed_pieces"][0]
+    t, q, planted = (lambda a, b, c: (a, b, c))(*build_case(case["spec"]))
+    planted = planted.tolist()
+    tn, qn = t.shape[0], q.shape[0]
+    a0t, a0q = 500, 500
+    a1t, a1q = tn - 700, qn - 700
+    q[a0q:a0q + 120] = t[a0t:a0t + 120]
+    q[a1q:a1q + 120] = t[a1t:a1t + 120]
+    blocks = np.array([[a0t, a0t + 120, a0q, a0q + 120],
+                       [a1t, a1t + 120, a1q, a1q + 120]], np.int64)
+    chain = Chain(score=100000, t_name="chrT", t_size=tn, t_start=a0t,
+                  t_end=a1t + 120, q_name="chrQ", q_size=qn, q_strand="+",
+                  q_start=a0q, q_end=a1q + 120, id=1, blocks=blocks)
+    bases = np.frombuffer(b"TCAGN", dtype=np.uint8)
+    t2 = str(tmp_path / "t.2bit")
+    q2 = str(tmp_path / "q.2bit")
+    write_twobit(t2, [("chrT", bases[t].tobytes())])
+    write_twobit(q2, [("chrQ", bases[q].tobytes())])
+    cf = str(tmp_path / "in.chain")
+    with open(cf, "w") as f:
+        write_chains([chain], f)
+
+    out = io.StringIO()
+    repeat_filler(cf, t2, q2, out)
+    got = read_chains(io.StringIO(out.getvalue()))[0]
+    b = got.blocks
+    # the longer piece (A, planted[0] by t order = 260bp) wins chainSort
+    best = max(planted, key=lambda p: p[1] - p[0])
+    other = min(planted, key=lambda p: p[1] - p[0])
+    inside = b[(b[:, 0] >= best[0] - 50) & (b[:, 1] <= best[1] + 50)]
+    assert _merge_abutting(inside.tolist()) == [best], \
+        (inside.tolist(), best)
+    # nothing from the transposed other piece may be spliced (it would
+    # break colinearity)
+    overlap_other = b[(b[:, 0] < other[1]) & (b[:, 1] > other[0])]
+    assert overlap_other.shape[0] == 0, overlap_other.tolist()
+
+
+def test_inverted_gap_end_to_end_leaves_gap_unfilled(tmp_path):
+    """Full RepeatFiller pass over a gap holding only an INVERTED copy:
+    the output chain must be byte-identical to the input (no splice) -
+    the reference pins lastz to the chain strand (RepeatFiller.py:353-364),
+    so inversions are invisible to gap filling."""
+    import io
+
+    from genomealignmenttools_tpu.engines.repeat_filler import repeat_filler
+    from genomealignmenttools_tpu.formats.chain import Chain, write_chains
+    from genomealignmenttools_tpu.formats.twobit import write_twobit
+    from tests.make_planted import build_case
+
+    case = [c for c in _cases()
+            if c["spec"]["name"] == "inverted_copy_invisible"][0]
+    t, q, _ = build_case(case["spec"])
+    tn, qn = t.shape[0], q.shape[0]
+    a0t, a0q = 500, 500
+    a1t, a1q = tn - 700, qn - 700
+    q[a0q:a0q + 120] = t[a0t:a0t + 120]
+    q[a1q:a1q + 120] = t[a1t:a1t + 120]
+    blocks = np.array([[a0t, a0t + 120, a0q, a0q + 120],
+                       [a1t, a1t + 120, a1q, a1q + 120]], np.int64)
+    chain = Chain(score=100000, t_name="chrT", t_size=tn, t_start=a0t,
+                  t_end=a1t + 120, q_name="chrQ", q_size=qn, q_strand="+",
+                  q_start=a0q, q_end=a1q + 120, id=1, blocks=blocks)
+    bases = np.frombuffer(b"TCAGN", dtype=np.uint8)
+    t2 = str(tmp_path / "t.2bit")
+    q2 = str(tmp_path / "q.2bit")
+    write_twobit(t2, [("chrT", bases[t].tobytes())])
+    write_twobit(q2, [("chrQ", bases[q].tobytes())])
+    cf = str(tmp_path / "in.chain")
+    with open(cf, "w") as f:
+        write_chains([chain], f)
+
+    out = io.StringIO()
+    repeat_filler(cf, t2, q2, out)
+    # unchanged up to the engine's line-reconstruction trailing newline
+    assert out.getvalue().rstrip("\n") == open(cf).read().rstrip("\n")
