@@ -119,7 +119,8 @@ def _device_run(snippet: str, need_s: float, mode: str = "pallas",
     the GAT_BENCH_DEVICE=0 kill switch)."""
     if gate_device and os.environ.get("GAT_BENCH_DEVICE", "1") == "0":
         return None
-    timeout_s = min(600.0, remaining() - MARGIN_S - 3.0)
+    cap = float(os.environ.get("GAT_BENCH_PROBE_CAP_S", "600"))
+    timeout_s = min(cap, remaining() - MARGIN_S - 3.0)
     if timeout_s < need_s:
         return None
     env = dict(os.environ)
@@ -721,7 +722,7 @@ for _ in range(2):
     t0 = time.time(); clean_chains(*args, **kw)
     best = min(best, time.time() - t0)
 print(best)
-""", need_s=90.0)
+""", need_s=90.0, mode="pair")
         if warm_dev is None:
             return
         cleaner["warm_device_s"] = round(warm_dev, 2)
@@ -751,7 +752,7 @@ def once():
     return time.time() - t0
 once()
 print(min(once(), once()))
-""", need_s=90.0)
+""", need_s=90.0, mode="pair")
         if net_dev is None:
             return
         net_rescore["warm_device_s"] = round(net_dev, 2)
