@@ -344,6 +344,10 @@ def bench_chainnet_rescore_host(m, d):
 
     cold = run_once()
     warm_host = min(run_once(), run_once())
+    from genomealignmenttools_tpu.utils import profiling
+    profiling.phase_acc_start()
+    run_once()
+    phases = {k: round(v, 3) for k, v in profiling.phase_acc_stop().items()}
     parity = None
     if os.path.exists(c_t):
         parity = (open(g_t).read() == open(c_t).read()
@@ -351,6 +355,7 @@ def bench_chainnet_rescore_host(m, d):
     return {"c_total_s": round(c_total, 2) if c_total else None,
             "cold_s": round(cold, 2),
             "warm_s": round(warm_host, 2),
+            "warm_phase_s": phases,
             "warm_device_s": None,
             "warm_hostnative_s": round(warm_host, 2),
             "byte_identical_vs_C": parity}

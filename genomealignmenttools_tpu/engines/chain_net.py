@@ -887,6 +887,10 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
     else:
         rescorer = None
 
+    import time as _time
+
+    from ..utils.profiling import phase_add
+    _pt = _time.monotonic()
     t_sizes = read_chrom_sizes(t_sizes_file)
     q_sizes = read_chrom_sizes(q_sizes_file)
     from ..formats.chain import read_chains
@@ -956,6 +960,8 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
             nt.finish()
         return nt
 
+    phase_add("parse", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
     q_netter = None
     if num_shards > 1:
         # per-side chromosome shard: the sweep only needs the chains that
@@ -989,6 +995,8 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
     else:
         netter = build_netter(kept)
         q_netter = netter
+    phase_add("net_sweep", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
     t_override = None
     if rescorer is not None and hasattr(scorer, "score_chains"):
         # exact sub-net rescoring, fully batched: every fill's target-side
@@ -1070,6 +1078,8 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
                 if hit is not None and hit[0] is chain:
                     return hit[1]
                 return scorer.global_score(chain.subset_on_t(start, end))
+    phase_add("rescore_fills", _time.monotonic() - _pt)
+    _pt = _time.monotonic()
     if isinstance(netter, NativeNetTree):
         netter.output_side(t_net_out, is_q=False, rescorer=rescorer,
                            score_override=t_override)
@@ -1077,6 +1087,7 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
         netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
     if q_net_out is not None:
         q_netter.output_side(q_net_out, is_q=True, rescorer=None)
+    phase_add("write", _time.monotonic() - _pt)
 
 
 def chain_net_main(argv: list[str]) -> int:
