@@ -91,3 +91,31 @@ def test_scorechain_thread_determinism(lite_workload, tmp_path):
                   str(d / "out.chain"), "-linearGap=loose"], n, str(d))
         outs[n] = (d / "out.chain").read_bytes()
     assert outs[1] == outs[8]
+
+
+def test_repeatfiller_thread_determinism(tmp_path):
+    """RepeatFiller's threaded gap stages (native/hspscan.cpp window
+    scan, native/bandext.cpp band batch) must be byte-identical at any
+    thread count - both preserve the caller's ordering by construction
+    (windows spliced back in submission order, band results indexed by
+    problem)."""
+    from genomealignmenttools_tpu.utils.bench_workload import (
+        build_repeatfiller_workload)
+    m = build_repeatfiller_workload(
+        os.environ.get("GAT_LITE_DIR", "/tmp/gat_lite") + "/repeatfiller",
+        n_gaps=120)
+    from conftest import hermetic_cpu_env
+    outs = {}
+    for threads in (1, 8):
+        out = str(tmp_path / f"rf_{threads}.chain")
+        env = hermetic_cpu_env()  # band stage must not wait on a tunnel
+        env["GAT_THREADS"] = str(threads)
+        subprocess.run([sys.executable, "-m",
+                        "genomealignmenttools_tpu.cli.main", "RepeatFiller",
+                        "-c", m["chain"], "-T2", m["t2bit"],
+                        "-Q2", m["q2bit"], "-o", out],
+                       env=env, check=True, capture_output=True,
+                       cwd=str(tmp_path), timeout=300)
+        outs[threads] = open(out).read()
+    assert outs[1] == outs[8]
+    assert outs[1].count("chain ") >= 1

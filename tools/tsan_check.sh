@@ -56,5 +56,17 @@ print("chainNet -rescore under TSAN: done")
 score_chain_file(m["chain"], m["t2bit"], m["q2bit"],
                  os.path.join(d, "scored.chain"), linear_gap="loose")
 print("scoreChain under TSAN: done")
+# gap engines: threaded HSP window scan (hspscan.cpp) + threaded band
+# batch (bandext.cpp) through the full RepeatFiller path
+os.environ["GAT_BAND"] = "host"
+from genomealignmenttools_tpu.utils.bench_workload import (
+    build_repeatfiller_workload)
+rf = build_repeatfiller_workload(
+    os.environ.get("GAT_LITE_DIR", "/tmp/gat_lite") + "/repeatfiller",
+    n_gaps=120)
+from genomealignmenttools_tpu.engines.repeat_filler import repeat_filler
+repeat_filler(rf["chain"], rf["t2bit"], rf["q2bit"],
+              os.path.join(d, "rf.chain"))
+print("RepeatFiller (hspscan + bandext) under TSAN: done")
 EOF
 echo "== TSAN clean =="
