@@ -1081,12 +1081,41 @@ def chain_net(chain_file: str, t_sizes_file: str, q_sizes_file: str,
     phase_add("rescore_fills", _time.monotonic() - _pt)
     _pt = _time.monotonic()
     if isinstance(netter, NativeNetTree):
-        netter.output_side(t_net_out, is_q=False, rescorer=rescorer,
-                           score_override=t_override)
+        import os as _os
+        if (q_net_out is not None and q_netter is netter
+                and q_net_out is not t_net_out
+                and _os.environ.get("GAT_THREADS") != "1"):
+            # the two side writers are independent reads over the same
+            # tree and each native gat_net_write call releases the GIL:
+            # overlap them (shared caches built up front so the worker
+            # thread only reads)
+            import threading as _threading
+            netter._chain_arrays()
+            q_err: list[BaseException] = []
+
+            def _q_side():
+                try:
+                    q_netter.output_side(q_net_out, is_q=True,
+                                         rescorer=None)
+                except BaseException as e:  # re-raised on the main thread
+                    q_err.append(e)
+
+            th = _threading.Thread(target=_q_side)
+            th.start()
+            netter.output_side(t_net_out, is_q=False, rescorer=rescorer,
+                               score_override=t_override)
+            th.join()
+            if q_err:
+                raise q_err[0]
+        else:
+            netter.output_side(t_net_out, is_q=False, rescorer=rescorer,
+                               score_override=t_override)
+            if q_net_out is not None:
+                q_netter.output_side(q_net_out, is_q=True, rescorer=None)
     else:
         netter.output_side(t_net_out, is_q=False, rescorer=rescorer)
-    if q_net_out is not None:
-        q_netter.output_side(q_net_out, is_q=True, rescorer=None)
+        if q_net_out is not None:
+            q_netter.output_side(q_net_out, is_q=True, rescorer=None)
     phase_add("write", _time.monotonic() - _pt)
 
 
