@@ -379,6 +379,29 @@ def _build_kernel(a_max: int, b_pad_total: int, moves_pad: int,
     return run
 
 
+_widen_cache: dict = {}
+
+
+def _widen_run_pack(runner, sizes, mat, a8, b8):
+    """uint8 codes -> int32 kernel inputs on device; moves fetched as
+    uint8 (values are 2-bit traceback codes): 4x less link traffic both
+    ways, bit-identical results.  Jitted per runner (one live kernel
+    shape per BandExtBatch)."""
+    import jax
+    import jax.numpy as jnp
+    fn = _widen_cache.get(runner)
+    if fn is None:
+        @jax.jit
+        def fn(sizes, mat, a8, b8):
+            meta, moves = runner(sizes, mat, a8.astype(jnp.int32),
+                                 b8.astype(jnp.int32))
+            return meta, moves.astype(jnp.uint8)
+        if len(_widen_cache) > 8:
+            _widen_cache.clear()
+        _widen_cache[runner] = fn
+    return fn(sizes, mat, a8, b8)
+
+
 class BandExtBatch:
     """Batched band_ext: Pallas on TPU, numpy band_ext loop elsewhere.
 
@@ -507,8 +530,11 @@ class BandExtBatch:
                 interpret=self.interpret)
             self._shape = shape
         sizes = np.zeros((n, 1, 128), np.int32)
-        a_arr = np.zeros((n, 1, a_max), np.int32)
-        b_arr = np.full((n, 1, b_pad_total), 4, np.int32)
+        # codes ship as uint8 and widen to the kernel's int32 layout ON
+        # device: 4x less host->device traffic (the tunnel link, not
+        # HBM, bounds batched band throughput on remote deployments)
+        a_arr = np.zeros((n, 1, a_max), np.uint8)
+        b_arr = np.full((n, 1, b_pad_total), 4, np.uint8)
         seqs = []
         for i, (a_seq, b_seq, direction) in enumerate(problems):
             a = np.frombuffer(a_seq, np.uint8)
@@ -523,11 +549,12 @@ class BandExtBatch:
             a_arr[i, 0, :a.shape[0]] = _CODE[a]
             b_arr[i, 0, GUARD + W:GUARD + W + b.shape[0]] = _CODE[b]
             seqs.append((a, b, direction))
-        meta, moves = self._runner(
-            jnp.asarray(sizes), jnp.asarray(self.mat),
-            jnp.asarray(a_arr), jnp.asarray(b_arr))
+        meta, moves8 = _widen_run_pack(self._runner, jnp.asarray(sizes),
+                                       jnp.asarray(self.mat),
+                                       jnp.asarray(a_arr),
+                                       jnp.asarray(b_arr))
         meta = np.asarray(meta)[:, 0, :]
-        moves = np.asarray(moves)[:, 0, :]
+        moves = np.asarray(moves8)[:, 0, :].astype(np.int32)
         out = []
         from .band_ext import band_ext
         for i, (a, b, direction) in enumerate(seqs):
