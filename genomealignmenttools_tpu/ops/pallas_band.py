@@ -379,27 +379,21 @@ def _build_kernel(a_max: int, b_pad_total: int, moves_pad: int,
     return run
 
 
-_widen_cache: dict = {}
-
-
 def _widen_run_pack(runner, sizes, mat, a8, b8):
     """uint8 codes -> int32 kernel inputs on device; moves fetched as
     uint8 (values are 2-bit traceback codes): 4x less link traffic both
-    ways, bit-identical results.  Jitted per runner (one live kernel
-    shape per BandExtBatch)."""
-    import jax
+    ways, bit-identical results.
+
+    The converts are standalone eager device ops AROUND the pallas call,
+    not an outer jit over it - wrapping the kernel changes its compiled
+    HLO and re-triggers the (minutes-long on remote-compile tunnels)
+    Mosaic build, while the standalone elementwise converts compile
+    trivially and the kernel keeps its exact prior shape."""
     import jax.numpy as jnp
-    fn = _widen_cache.get(runner)
-    if fn is None:
-        @jax.jit
-        def fn(sizes, mat, a8, b8):
-            meta, moves = runner(sizes, mat, a8.astype(jnp.int32),
-                                 b8.astype(jnp.int32))
-            return meta, moves.astype(jnp.uint8)
-        if len(_widen_cache) > 8:
-            _widen_cache.clear()
-        _widen_cache[runner] = fn
-    return fn(sizes, mat, a8, b8)
+
+    meta, moves = runner(sizes, mat, a8.astype(jnp.int32),
+                         b8.astype(jnp.int32))
+    return meta, moves.astype(jnp.uint8)
 
 
 class BandExtBatch:
