@@ -378,8 +378,9 @@ def bench_scorechain_host(work_dir):
         return time.time() - t0
 
     cold_s = run_once()     # incl. first-touch IO + 2bit decode
-    warm_s = run_once()     # page-cache warm: the C baseline's protocol
+    # page-cache-warm best-of-2: the C baseline's exact protocol
     # (c_scorechain_wall_s is best-of-2 warm)
+    warm_s = min(run_once(), run_once())
     return meta, {"ali_mb": ali_mb, "cold_e2e_s": round(cold_s, 2),
                   "cold_e2e_mb_s": round(ali_mb / cold_s, 1),
                   "warm_e2e_s": round(warm_s, 2),
