@@ -507,8 +507,10 @@ def _timed(fn):
 # the HBM roofline through the axon relay: the runtime memoizes pure
 # executions or fast-acks block_until_ready, so that protocol is
 # unusable).  Sustained per-pass = (T(N passes) - T(1 pass)) / (N - 1):
-# the fetch and RTT cancel, leaving pure serialized kernel time.
-NCHAIN = 21
+# the fetch and RTT cancel, leaving pure serialized kernel time.  41
+# passes: the subtraction divides RTT jitter by 40, and the extra ~45 ms
+# of device time is free against the probe's budget.
+NCHAIN = 41
 import jax
 burst_s = None
 hbm_bytes = None
