@@ -244,10 +244,15 @@ def bench_cleaner_host(m, d):
 
     cold = run_once()          # auto backend (host-native default)
     t_cpu0 = os.times()
-    warm_host = min(run_once(), run_once(), run_once())
+    warm_runs = [run_once(), run_once(), run_once()]
+    # host noise on this shared sandbox spreads single runs by ~40%; two
+    # extra samples tighten the HEADLINE min when the budget allows
+    while len(warm_runs) < 5 and remaining() > 300:
+        warm_runs.append(run_once())
+    warm_host = min(warm_runs)
     t_cpu1 = os.times()
     cpu_s_per_run = ((t_cpu1.user - t_cpu0.user)
-                     + (t_cpu1.system - t_cpu0.system)) / 3
+                     + (t_cpu1.system - t_cpu0.system)) / len(warm_runs)
 
     # per-phase breakdown of one warm run (where do the milliseconds go)
     from genomealignmenttools_tpu.utils import profiling
